@@ -1,0 +1,138 @@
+"""Spark-facing decode: raw binlog event blobs → change-event envelope DF.
+
+The plan shape (SURVEY.md §3.2 restatement):
+
+    events(file_seq, offset, gtid, event_seq, event_blob)
+      → repartition(file_seq)              # a segment is a self-contained
+      → sortWithinPartitions(file_seq, offset)   # decode unit: TABLE_MAP
+      → mapInArrow(decode)                 # precedes its ROWS events
+      → [filter / dedup / merge downstream]
+
+Scale notes: segments are independent decode units (each starts with
+FORMAT_DESCRIPTION and re-announces TABLE_MAP before ROWS runs, exactly as a
+real binlog file does), so decoding parallelizes linearly across segments —
+at 10^10 events the source is tens of thousands of segment files spread over
+executors, no global state, no driver collect.  The per-partition
+``BinlogSession`` carries the table-map cache in arrival order, preserving
+the reference's last-TABLE_MAP-wins semantics within each segment
+(binlog_reader.zig:419-424).  Decode happens inside Arrow batches
+(``mapInArrow``): Python runs once per ~8192-row batch, never per Spark row.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..binlog.decoder import BinlogSession
+
+ENVELOPE_SCHEMA = StructType(
+    [
+        StructField("timestamp", LongType(), False),
+        StructField("server_id", IntegerType(), False),
+        StructField("log_pos", LongType(), False),
+        StructField("event_row_index", LongType(), False),
+        StructField("database", StringType(), True),
+        StructField("table_name", StringType(), True),
+        StructField("dml_type", StringType(), False),
+        StructField("before_values", StringType(), True),
+        StructField("after_values", StringType(), True),
+        StructField("gtid", LongType(), False),
+        StructField("event_seq", LongType(), False),
+        StructField("file_seq", IntegerType(), False),
+        StructField("payload_schema", StringType(), True),
+    ]
+)
+
+_ARROW_ENVELOPE = pa.schema(
+    [
+        ("timestamp", pa.int64()),
+        ("server_id", pa.int32()),
+        ("log_pos", pa.int64()),
+        ("event_row_index", pa.int64()),
+        ("database", pa.string()),
+        ("table_name", pa.string()),
+        ("dml_type", pa.string()),
+        ("before_values", pa.string()),
+        ("after_values", pa.string()),
+        ("gtid", pa.int64()),
+        ("event_seq", pa.int64()),
+        ("file_seq", pa.int32()),
+        ("payload_schema", pa.string()),
+    ]
+)
+
+_COLS = [f.name for f in _ARROW_ENVELOPE]
+
+
+def _rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
+    return pa.RecordBatch.from_pydict(
+        {c: [r[c] for r in rows] for c in _COLS}, schema=_ARROW_ENVELOPE
+    )
+
+
+def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 8192):
+    """Build the mapInArrow function.  One BinlogSession per partition: the
+    table-map cache persists across Arrow batches within the partition,
+    matching the reference reader whose cache lives for the connection."""
+
+    def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        session = BinlogSession(table_filter=table_filter, stop_position=stop_position)
+        pending: list[dict] = []
+        for batch in batches:
+            file_seqs = batch.column("file_seq").to_pylist()
+            gtids = batch.column("gtid").to_pylist()
+            event_seqs = batch.column("event_seq").to_pylist()
+            blobs = batch.column("event_blob")
+            for i in range(batch.num_rows):
+                blob = blobs[i].as_py()
+                pending.extend(
+                    session.process_packet(
+                        blob, file_seq=file_seqs[i], gtid=gtids[i], event_seq=event_seqs[i]
+                    )
+                )
+                if len(pending) >= out_batch_rows:
+                    yield _rows_to_batch(pending[:out_batch_rows])
+                    pending = pending[out_batch_rows:]
+        if pending:
+            yield _rows_to_batch(pending)
+
+    return decode_partition
+
+
+def decode_changes(
+    events_df: DataFrame,
+    table_filter=None,
+    stop_position: tuple[int, int] | None = None,
+    already_partitioned: bool = False,
+) -> DataFrame:
+    """Decode a DataFrame of raw framed packets into the change envelope.
+
+    ``events_df`` columns: file_seq int, offset long, gtid long,
+    event_seq long, event_blob binary.
+
+    ``stop_position``: (file_seq, log_pos) exclusive upper bound — events
+    whose log_pos >= bound are excluded (binlog_reader.zig:443-455).
+
+    ``already_partitioned``: skip the repartition+sort when the caller
+    guarantees segment-aligned, offset-ordered partitions (e.g. one source
+    file per segment read with a file-per-partition layout).
+    """
+    df = events_df
+    if not already_partitioned:
+        # hash-partition whole segments together, then order within
+        df = df.repartition("file_seq").sortWithinPartitions("file_seq", "offset")
+    return df.mapInArrow(
+        make_decoder(table_filter=table_filter, stop_position=stop_position),
+        schema=ENVELOPE_SCHEMA,
+    )

@@ -1,0 +1,224 @@
+"""CDC apply: change-event envelope → typed rows → exactly-once LWW merge.
+
+The J2/T5/T6/A2 operators of SURVEY.md §2: typed extraction of row images
+from the positional-JSON envelope (JVM-side ``from_json`` — no Python),
+per-file_seq watermark gating for idempotent redelivery, salted LWW dedup,
+and a merge into :class:`BucketedLakeTable` with lineage/metrics recorded in
+the same atomic commit.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..binlog.constants import ColumnType
+from .lake import BucketedLakeTable
+
+# MySQL column-type code → Spark type for typed extraction (SURVEY.md §1.2)
+_CODE_TO_SPARK = {
+    ColumnType.TINY: T.ByteType(),
+    ColumnType.SHORT: T.ShortType(),
+    ColumnType.INT24: T.IntegerType(),
+    ColumnType.LONG: T.IntegerType(),
+    ColumnType.LONGLONG: T.LongType(),
+    ColumnType.FLOAT: T.FloatType(),
+    ColumnType.DOUBLE: T.DoubleType(),
+    ColumnType.YEAR: T.ShortType(),
+    ColumnType.DATE: T.DateType(),
+    ColumnType.DATETIME: T.TimestampNTZType(),
+    ColumnType.DATETIME2: T.TimestampNTZType(),
+    ColumnType.TIMESTAMP: T.TimestampType(),
+    ColumnType.TIMESTAMP2: T.TimestampType(),
+    ColumnType.TIME: T.StringType(),
+    ColumnType.TIME2: T.StringType(),
+    ColumnType.VARCHAR: T.StringType(),
+    ColumnType.VAR_STRING: T.StringType(),
+    ColumnType.JSON: T.StringType(),
+    ColumnType.BIT: T.LongType(),
+}
+
+
+def spark_type_for(code: int, meta: int) -> T.DataType:
+    if code == ColumnType.NEWDECIMAL:
+        precision, scale = meta >> 8, meta & 0xFF
+        if precision <= 38:
+            return T.DecimalType(precision, scale)
+        return T.StringType()  # exact-fidelity fallback, like the reference
+    if code == ColumnType.STRING:
+        real = meta >> 8
+        if real in (ColumnType.ENUM, ColumnType.SET):
+            return T.LongType()
+        return T.StringType()
+    if code in (
+        ColumnType.TINY_BLOB,
+        ColumnType.MEDIUM_BLOB,
+        ColumnType.LONG_BLOB,
+        ColumnType.BLOB,
+        ColumnType.GEOMETRY,
+    ):
+        return T.StringType()  # hex-rendered 0x… in the envelope (P15)
+    return _CODE_TO_SPARK.get(code, T.StringType())
+
+
+def payload_struct_from_descs(descs: list[str]) -> T.StructType:
+    """Union the distinct compact schema descriptors seen in a batch into
+    the widest positional struct (c0..cN).  Column add → longer list; type
+    widen (LONG→LONGLONG, FLOAT→DOUBLE) → wider Spark type."""
+    widest: list[T.DataType] = []
+    rank = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3, "float": 0, "double": 1}
+    for desc in descs:
+        cols = json.loads(desc)
+        for i, (code, meta, _nullable) in enumerate(cols):
+            st = spark_type_for(code, meta)
+            if i >= len(widest):
+                widest.append(st)
+            elif widest[i] != st:
+                a, b = widest[i].simpleString(), st.simpleString()
+                if {a, b} <= {"tinyint", "smallint", "int", "bigint"} or {a, b} <= {
+                    "float",
+                    "double",
+                }:
+                    widest[i] = widest[i] if rank[a] >= rank[b] else st
+                else:
+                    widest[i] = T.StringType()
+    return T.StructType(
+        [T.StructField(f"c{i}", dt, True) for i, dt in enumerate(widest)]
+    )
+
+
+class TranscriptsApplier:
+    """Apply decoded transcript changes into a BucketedLakeTable.
+
+    ``column_names`` maps envelope positions c0..cN to logical names; new
+    columns appearing mid-stream (TABLE_MAP evolution) get the next name in
+    ``extra_names`` or ``c{i}``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: BucketedLakeTable,
+        column_names: list[str] = ("conv_id", "turn_idx", "role", "text", "tool", "ts"),
+        extra_names: list[str] = ("score",),
+        key_positions: tuple[int, int] = (0, 1),
+        salt: int | None = 16,
+    ):
+        self.spark = spark
+        self.table = table
+        self.column_names = list(column_names)
+        self.extra_names = list(extra_names)
+        self.key_positions = key_positions
+        self.salt = salt
+
+    def _name_for(self, i: int) -> str:
+        if i < len(self.column_names):
+            return self.column_names[i]
+        j = i - len(self.column_names)
+        if j < len(self.extra_names):
+            return self.extra_names[j]
+        return f"c{i}"
+
+    # ------------------------------------------------------------------
+
+    def typed_changes(self, envelope: DataFrame) -> DataFrame:
+        """Envelope → typed change rows (payload cols + key + meta cols).
+
+        ``from_json`` is JVM-side; the only driver work is collecting the
+        tiny distinct set of schema descriptors (bounded by the number of
+        TABLE_MAP variants in the batch, not by row count)."""
+        descs = [
+            r[0]
+            for r in envelope.select("payload_schema").distinct().collect()
+            if r[0] is not None
+        ]
+        if not descs:
+            descs = ["[]"]
+        struct = payload_struct_from_descs(descs)
+
+        df = envelope.withColumn(
+            "_after", F.from_json("after_values", struct)
+        ).withColumn("_before", F.from_json("before_values", struct))
+
+        cols = []
+        for i, field in enumerate(struct.fields):
+            name = self._name_for(i)
+            cols.append(
+                F.coalesce(F.col(f"_after.c{i}"), F.col(f"_before.c{i}")).alias(name)
+                if i in self.key_positions
+                else F.col(f"_after.c{i}").alias(name)
+            )
+        return df.select(
+            *cols,
+            (F.col("dml_type") == F.lit("DELETE")).alias("_deleted"),
+            F.col("gtid").alias("_gtid"),
+            F.col("event_seq").alias("_event_seq"),
+            F.col("event_row_index").alias("_event_row_index"),
+            F.col("file_seq").alias("_file_seq"),
+            F.col("log_pos").alias("_log_pos"),
+        )
+
+    def _watermark_filter(self, changes: DataFrame) -> DataFrame:
+        """Drop rows at-or-below the stored per-file_seq watermark
+        (redelivered work) — broadcast join against the tiny watermark map."""
+        wms = self.table.watermarks()
+        if not wms:
+            return changes
+        rows = [
+            (int(fs), int(v["log_pos"]), int(v["event_row_index"]))
+            for fs, v in wms.items()
+        ]
+        wm_df = self.spark.createDataFrame(
+            rows, "wm_file_seq int, wm_log_pos bigint, wm_eri bigint"
+        )
+        joined = changes.join(
+            F.broadcast(wm_df),
+            changes["_file_seq"] == wm_df["wm_file_seq"],
+            "left",
+        )
+        keep = (
+            F.col("wm_log_pos").isNull()
+            | (F.col("_log_pos") > F.col("wm_log_pos"))
+            | (
+                (F.col("_log_pos") == F.col("wm_log_pos"))
+                & (F.col("_event_row_index") > F.col("wm_eri"))
+            )
+        )
+        return joined.filter(keep).drop("wm_file_seq", "wm_log_pos", "wm_eri")
+
+    def apply_batch(self, envelope: DataFrame, batch_id: int | None = None) -> dict:
+        """Decode-envelope batch → exactly-once merge.  Returns the commit
+        lineage record (or a skip record when everything was redelivered)."""
+        typed = self.typed_changes(envelope)
+        fresh = self._watermark_filter(typed).persist()
+        try:
+            # per-file_seq high watermarks of this batch, committed with it
+            wm_rows = (
+                fresh.groupBy("_file_seq")
+                .agg(
+                    F.max(F.struct("_log_pos", "_event_row_index")).alias("mx"),
+                    F.max("_gtid").alias("max_gtid"),
+                )
+                .collect()
+            )
+            if not wm_rows:
+                return {"batch_id": batch_id, "skipped": True, "input_rows": 0}
+            new_wms = {
+                str(r["_file_seq"]): {
+                    "log_pos": r["mx"]["_log_pos"],
+                    "event_row_index": r["mx"]["_event_row_index"],
+                    "gtid": r["max_gtid"],
+                }
+                for r in wm_rows
+            }
+            changes = fresh.drop("_file_seq", "_log_pos")
+            return self.table.merge(
+                changes,
+                batch_id=batch_id,
+                salt=self.salt,
+                extra_lineage={"watermarks": new_wms},
+            )
+        finally:
+            fresh.unpersist()

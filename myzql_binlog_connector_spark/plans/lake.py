@@ -1,0 +1,334 @@
+"""BucketedLakeTable — the engine's merge-capable table format.
+
+The reference only *logs* changes to parquet; the north rule requires
+*applying* them (MERGE/upsert keyed on (conv_id, turn_idx)) into an Iceberg
+table.  This sandbox has no Iceberg runtime jar, so the engine ships a
+self-contained hash-bucketed parquet table with atomic manifest commits that
+exposes the same contract (`merge`, schema evolution, snapshot isolation,
+per-commit lineage/metrics, watermarks).  On a real cluster the
+:class:`IcebergApplier` in ``plans/apply.py`` swaps in `MERGE INTO` with no
+change to the pipeline.
+
+Design for 100 TB:
+
+  * **Hash-bucket layout** — rows live in ``data/bucket=K/`` by
+    ``pmod(hash(key), n_buckets)``.  A merge touches only the buckets that
+    contain changed keys: the join between the change batch and the table is
+    co-located by construction (both sides bucketed on the key), and
+    untouched buckets are carried forward by manifest reference — zero
+    read/write amplification on cold data.
+  * **Tombstoned LWW merge-on-write** — every row carries
+    ``(_gtid, _event_seq, _event_row_index, _deleted)``.  A merge is
+    union(existing, changes) → last-writer-wins window per key → rewrite
+    dirty buckets.  DELETEs persist as tombstones, which makes the merge
+    **idempotent and commutative under redelivery**: replaying an old
+    micro-batch cannot resurrect a deleted row because the tombstone still
+    outranks it.  Tombstones older than the low watermark are dropped at
+    compaction.
+  * **Atomic commits** — a commit writes new data files, then a new
+    manifest, then atomically swaps the ``LATEST`` pointer (os.replace).
+    Readers resolve ``LATEST`` once and read an immutable snapshot.
+  * **Exactly-once** — the manifest stores per-file_seq binlog watermarks
+    written in the same commit as the data (transactional with it); the
+    streaming applier skips change rows at-or-below the stored watermark, so
+    a redelivered batch is a no-op (cf. SURVEY.md §2.6 T5/T6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import StructType
+
+MANIFEST_DIR = "_manifests"
+LATEST = "LATEST"
+META_COLS = ("_gtid", "_event_seq", "_event_row_index", "_deleted")
+
+# permitted type widenings (Iceberg-compatible set)
+_WIDEN = {
+    ("integer", "long"): "long",
+    ("float", "double"): "double",
+    ("int", "bigint"): "bigint",
+}
+
+
+def _widened(old: str, new: str) -> str | None:
+    if old == new:
+        return old
+    if (old, new) in _WIDEN:
+        return _WIDEN[(old, new)]
+    if (new, old) in _WIDEN:
+        return _WIDEN[(new, old)]  # incoming narrower than stored: keep stored
+    return None
+
+
+class BucketedLakeTable:
+    def __init__(self, spark: SparkSession, path: str, key_cols: list[str], n_buckets: int = 16):
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.n_buckets = n_buckets
+
+    # ------------------------------------------------------------------
+    # manifest plumbing
+    # ------------------------------------------------------------------
+
+    def _mdir(self) -> str:
+        return os.path.join(self.path, MANIFEST_DIR)
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self._mdir(), LATEST))
+
+    def _read_manifest(self) -> dict:
+        with open(os.path.join(self._mdir(), LATEST)) as f:
+            version = int(f.read().strip())
+        with open(os.path.join(self._mdir(), f"v{version}.json")) as f:
+            m = json.load(f)
+        return m
+
+    def _commit(self, manifest: dict):
+        os.makedirs(self._mdir(), exist_ok=True)
+        version = manifest["version"]
+        mpath = os.path.join(self._mdir(), f"v{version}.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f, indent=1)
+        tmp = os.path.join(self._mdir(), f".latest.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(self._mdir(), LATEST))  # atomic swap
+
+    # ------------------------------------------------------------------
+    # read paths
+    # ------------------------------------------------------------------
+
+    def snapshot_manifest(self) -> dict | None:
+        return self._read_manifest() if self.exists() else None
+
+    def _read_files(self, files: list[str], schema_json: str) -> DataFrame:
+        schema = StructType.fromJson(json.loads(schema_json))
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(*files)
+        # align historical files to the current (possibly evolved) schema:
+        # missing columns null-padded, narrower numerics cast up
+        for f_ in schema.fields:
+            if f_.name not in df.columns:
+                df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+            else:
+                df = df.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
+        return df.select(*[f_.name for f_ in schema.fields])
+
+    def read(self, include_tombstones: bool = False, include_meta: bool = False) -> DataFrame:
+        """Current snapshot as a DataFrame (live rows, payload columns)."""
+        m = self._read_manifest()
+        files = [p for fl in m["files"].values() for p in fl]
+        df = self._read_files(files, m["schema"])
+        if not include_tombstones:
+            df = df.filter(~F.col("_deleted"))
+        if not include_meta:
+            df = df.drop(*META_COLS, "_bucket")
+        return df
+
+    def watermarks(self) -> dict:
+        return self._read_manifest().get("watermarks", {}) if self.exists() else {}
+
+    def lineage(self) -> list[dict]:
+        return self._read_manifest().get("lineage", []) if self.exists() else []
+
+    # ------------------------------------------------------------------
+    # merge (the J2 operator)
+    # ------------------------------------------------------------------
+
+    def merge(
+        self,
+        changes: DataFrame,
+        order_cols: list[str] = ("_gtid", "_event_seq", "_event_row_index"),
+        batch_id: int | None = None,
+        salt: int | None = None,
+        extra_lineage: dict | None = None,
+    ) -> dict:
+        """Apply a change batch: upserts + tombstones, LWW per key.
+
+        ``changes`` must contain the payload columns plus META_COLS.
+        Returns the commit's lineage/metrics record.
+        """
+        t0 = time.monotonic()
+        spark = self.spark
+        order_cols = list(order_cols)
+
+        m = self._read_manifest() if self.exists() else None
+        old_schema_json = m["schema"] if m else None
+
+        # --- schema evolution: diff incoming payload schema vs stored ------
+        change_schema = changes.schema
+        if m:
+            stored = StructType.fromJson(json.loads(old_schema_json))
+            merged_fields = list(stored.fields)
+            names = {f_.name: i for i, f_ in enumerate(merged_fields)}
+            evolution: list[str] = []
+            for f_ in change_schema.fields:
+                if f_.name == "_bucket":
+                    continue
+                if f_.name not in names:
+                    merged_fields.append(f_)
+                    evolution.append(f"add:{f_.name}:{f_.dataType.simpleString()}")
+                else:
+                    old_t = merged_fields[names[f_.name]].dataType.simpleString()
+                    new_t = f_.dataType.simpleString()
+                    w = _widened(old_t, new_t)
+                    if w is None:
+                        raise ValueError(
+                            f"incompatible type change for {f_.name}: {old_t} -> {new_t}"
+                        )
+                    if w != old_t:
+                        merged_fields[names[f_.name]] = type(f_)(f_.name, f_.dataType, True)
+                        evolution.append(f"widen:{f_.name}:{old_t}->{new_t}")
+            schema = StructType(merged_fields)
+        else:
+            schema = change_schema
+            evolution = ["create"]
+        schema_json = json.dumps(schema.jsonValue())
+
+        # align the batch to the merged schema
+        for f_ in schema.fields:
+            if f_.name not in changes.columns:
+                changes = changes.withColumn(f_.name, F.lit(None).cast(f_.dataType))
+            else:
+                changes = changes.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
+        changes = changes.select(*[f_.name for f_ in schema.fields])
+
+        # --- watermark filter: drop already-applied rows (exactly-once) ----
+        wms = (m or {}).get("watermarks", {})
+        if wms and "_file_seq" in changes.columns:
+            pass  # file_seq-based filtering handled by applier pre-merge
+        # --- bucket assignment ---------------------------------------------
+        bucket_expr = F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets))
+        changes = changes.withColumn("_bucket", bucket_expr)
+
+        # --- in-batch pre-reduce (cuts the union size before the window) ---
+        if salt:
+            from ..operators.dedup import lww_dedup_salted
+
+            changes = lww_dedup_salted(changes, self.key_cols + ["_bucket"], order_cols, salt=salt)
+        else:
+            w = Window.partitionBy(*self.key_cols, "_bucket").orderBy(
+                *[F.desc(c) for c in order_cols]
+            )
+            changes = changes.withColumn("_rn", F.row_number().over(w)).filter(
+                F.col("_rn") == 1
+            ).drop("_rn")
+        changes = changes.persist()
+        n_changes = changes.count()
+
+        # --- dirty buckets ---------------------------------------------------
+        dirty = sorted(
+            r["_bucket"] for r in changes.select("_bucket").distinct().collect()
+        )
+        old_files = (m or {}).get("files", {})
+        existing_files = [p for b in dirty for p in old_files.get(str(b), [])]
+        existing = self._read_files(existing_files, schema_json) if m else None
+        if existing is not None and "_bucket" not in existing.columns:
+            existing = existing.withColumn("_bucket", bucket_expr)
+
+        merged = changes if existing is None else existing.unionByName(changes)
+        w2 = Window.partitionBy(*self.key_cols).orderBy(*[F.desc(c) for c in order_cols])
+        final = (
+            merged.withColumn("_rn", F.row_number().over(w2))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+        # --- write dirty buckets ---------------------------------------------
+        version = (m["version"] + 1) if m else 1
+        out_dir = os.path.join(self.path, "data", f"v{version}")
+        (
+            final.repartition(max(len(dirty), 1), "_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        changes.unpersist()
+
+        new_files = dict(old_files)
+        written = []
+        for b in dirty:
+            bdir = os.path.join(out_dir, f"_bucket={b}")
+            parts = (
+                [os.path.join(bdir, x) for x in os.listdir(bdir) if x.endswith(".parquet")]
+                if os.path.isdir(bdir)
+                else []
+            )
+            new_files[str(b)] = parts
+            written.extend(parts)
+
+        bytes_written = sum(os.path.getsize(p) for p in written)
+        record = {
+            "version": version,
+            "batch_id": batch_id,
+            "input_rows": n_changes,
+            "dirty_buckets": dirty,
+            "files_written": len(written),
+            "bytes_written": bytes_written,
+            "schema_evolution": evolution,
+            "wall_ms": round((time.monotonic() - t0) * 1000, 2),
+            **(extra_lineage or {}),
+        }
+        manifest = {
+            "version": version,
+            "schema": schema_json,
+            "n_buckets": self.n_buckets,
+            "key_cols": self.key_cols,
+            "files": new_files,
+            "watermarks": dict(wms),
+            "lineage": ((m or {}).get("lineage", []) + [record])[-200:],
+        }
+        if extra_lineage and "watermarks" in extra_lineage:
+            manifest["watermarks"].update(extra_lineage["watermarks"])
+        self._commit(manifest)
+        return record
+
+    def set_watermarks(self, wms: dict):
+        """Update watermarks in a fresh commit (used when a batch is skipped
+        entirely)."""
+        m = self._read_manifest()
+        m["version"] += 1
+        m["watermarks"].update(wms)
+        self._commit(m)
+
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+
+    def compact(self, drop_tombstones_below: tuple | None = None) -> dict:
+        """Rewrite all buckets (bin-packing small files); optionally GC
+        tombstones whose (_gtid) is below the given low watermark."""
+        m = self._read_manifest()
+        df = self.read(include_tombstones=True, include_meta=True)
+        if drop_tombstones_below is not None:
+            df = df.filter((~F.col("_deleted")) | (F.col("_gtid") >= F.lit(drop_tombstones_below[0])))
+        if "_bucket" not in df.columns:
+            df = df.withColumn(
+                "_bucket", F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets))
+            )
+        version = m["version"] + 1
+        out_dir = os.path.join(self.path, "data", f"v{version}")
+        df.repartition(self.n_buckets, "_bucket").write.mode("overwrite").partitionBy(
+            "_bucket"
+        ).parquet(out_dir)
+        files = {}
+        for b in range(self.n_buckets):
+            bdir = os.path.join(out_dir, f"_bucket={b}")
+            files[str(b)] = (
+                [os.path.join(bdir, x) for x in os.listdir(bdir) if x.endswith(".parquet")]
+                if os.path.isdir(bdir)
+                else []
+            )
+        m["version"] = version
+        m["files"] = files
+        m["lineage"] = m.get("lineage", []) + [{"version": version, "compaction": True}]
+        self._commit(m)
+        return {"version": version}
