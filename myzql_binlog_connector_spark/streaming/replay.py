@@ -1,0 +1,77 @@
+"""Resumable Structured-Streaming binlog replay (SURVEY.md §2.6).
+
+``readStream(segment store) → foreachBatch(decode → apply)`` with:
+
+  * **checkpointing** — Spark's file-source checkpoint makes the stream
+    resumable (T5); a restart replays at most the in-flight micro-batch;
+  * **exactly-once** — the applier's per-file_seq watermarks (committed
+    atomically with the data in the lake-table manifest) turn that replayed
+    micro-batch into a no-op (T6): end-to-end idempotent apply;
+  * **bounded replay** — ``Trigger.AvailableNow`` drains everything present
+    and stops (T1, the ``to_binlog_file`` analogue), while the default
+    processing-time trigger tails forever;
+  * **lineage/metrics** — every commit's record (rows, buckets touched,
+    bytes, wall time, watermarks) lands in the manifest; the driver also
+    keeps the per-batch records in ``self.batch_records`` (A2).
+
+The reference's hand-built 3-thread pipeline with bounded MPSC queues
+(pipeline.zig:181-229) maps to micro-batches + ``maxFilesPerTrigger``
+backpressure; graceful shutdown (T4) is ``query.stop()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..functions.decode import decode_changes
+from ..plans.apply import TranscriptsApplier
+from ..sources.segments import stream_segments
+
+
+class BinlogReplayStream:
+    def __init__(
+        self,
+        spark: SparkSession,
+        segments_path: str,
+        applier: TranscriptsApplier,
+        checkpoint_dir: str,
+        table_filter=None,
+        stop_position: tuple[int, int] | None = None,
+        max_files_per_trigger: int | None = 1,
+    ):
+        self.spark = spark
+        self.segments_path = segments_path
+        self.applier = applier
+        self.checkpoint_dir = checkpoint_dir
+        self.table_filter = table_filter
+        self.stop_position = stop_position
+        self.max_files_per_trigger = max_files_per_trigger
+        self.batch_records: list[dict] = []
+
+    def _process_batch(self, batch_df, batch_id: int):
+        envelope = decode_changes(
+            batch_df,
+            table_filter=self.table_filter,
+            stop_position=self.stop_position,
+        )
+        record = self.applier.apply_batch(envelope, batch_id=batch_id)
+        self.batch_records.append(record)
+
+    def start(self, available_now: bool = True):
+        """Start the stream; with ``available_now`` it drains the current
+        store contents and terminates (bounded replay), else it tails."""
+        stream = stream_segments(
+            self.spark, self.segments_path, self.max_files_per_trigger
+        )
+        writer = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_to_completion(self, timeout_sec: float | None = None) -> list[dict]:
+        q = self.start(available_now=True)
+        q.awaitTermination(timeout_sec)
+        return self.batch_records
