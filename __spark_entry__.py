@@ -1,38 +1,562 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC pipeline (binlog encode → distributed
+decode → LWW → final state) on sf0.001.  ``queries()`` exposes one entry per
+implemented operator from SURVEY.md §2 plus the training-data-pipeline
+operators; ``oracle_sql()`` carries the DuckDB-runnable ANSI mirror of each.
+
+Column names and types are aligned on both sides (the driver hashes values
+after sorting columns by name).  Floats are rounded before comparison;
+hashes are md5-based so Spark and DuckDB compute identical values.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from myzql_binlog_connector_spark import harness
+from myzql_binlog_connector_spark.functions.decode import decode_changes
+from myzql_binlog_connector_spark.functions.position import (
+    position_range,
+    position_range_sql,
+)
+from myzql_binlog_connector_spark.functions.table_filter import TableFilter
+from myzql_binlog_connector_spark.operators import fuzzy, similarity, text as T
+from myzql_binlog_connector_spark.operators.dedup import lww_dedup, lww_dedup_salted
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: encode sf0.001 documents as binlog WRITE_ROWS, decode them
+    distributed (mapInArrow), LWW-dedup, return the final applied state."""
+    return q_cdc_decode_roundtrip(spark, SF_DEFAULT)
+
+
+# ---------------------------------------------------------------------------
+# CDC core queries
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_decode_roundtrip(spark, sf_dir):
+    events = harness.docs_cdc_events(spark, sf_dir)
+    env = decode_changes(events)
+    state = harness.typed_final_state(
+        env, harness.DOCS_SCHEMA, (0,), ["bigint", "string", "string", "string", "bigint"]
+    )
+    return state.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_cdc_apply_state(spark, sf_dir):
+    events = harness.events_cdc_stream(spark, sf_dir)
+    env = decode_changes(events)
+    state = harness.typed_final_state(
+        env,
+        harness.EVENTS_TBL_SCHEMA,
+        (0,),
+        ["bigint", "bigint", "string", "double", "string"],
+    )
+    return state.select("event_id", "user_id", "event_type", "value", "props")
+
+
+def q_cdc_envelope_counts(spark, sf_dir):
+    events = harness.docs_cdc_events(spark, sf_dir)
+    env = decode_changes(events)
+    return (
+        env.groupBy("database", "table_name", "dml_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("database", "table_name", "dml_type", "n")
+    )
+
+
+def q_cdc_bounded_replay(spark, sf_dir):
+    events = harness.docs_cdc_events(spark, sf_dir, n_segments=2)
+    env = decode_changes(events, stop_position=(2, 0))  # everything in file 1
+    state = harness.typed_final_state(
+        env, harness.DOCS_SCHEMA, (0,), ["bigint", "string", "string", "string", "bigint"]
+    )
+    return state.select("doc_id", "text")
+
+
+def q_cdc_table_filter(spark, sf_dir):
+    events = harness.docs_cdc_events(spark, sf_dir)
+    tf = TableFilter(exclude=["corpus.documents"])
+    env = decode_changes(events, table_filter=tf)
+    return env.select("dml_type", "after_values")  # expected: empty
+
+
+# ---------------------------------------------------------------------------
+# window / filter / join operators on the pre-decoded stream tables
+# ---------------------------------------------------------------------------
+
+
+def q_lww_dedup_events(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    latest = lww_dedup(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return latest.select("user_id", "event_type", "event_id", "value")
+
+
+def q_lww_dedup_salted_events(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    latest = lww_dedup_salted(ev, ["user_id", "event_type"], ["ts", "event_id"], salt=8)
+    return latest.select("user_id", "event_type", "event_id", "value")
+
+
+def q_event_type_filter(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+def q_position_range_filter(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    pred = position_range(
+        F.col("user_id").cast("int"), F.col("event_id"),
+        from_position=(5, 100), to_position=(12, 500),
+    )
+    return ev.filter(pred).select("event_id", "user_id")
+
+
+def q_table_include_exclude(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    tf = TableFilter(include=["src1.*", "*.en"], exclude=["src1.de"])
+    return docs.filter(tf.to_column(F.col("source"), F.col("lang"))).select(
+        "doc_id", "source", "lang"
+    )
+
+
+def q_asof_join_events(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_signup = F.last(
+        F.when(F.col("event_type") == "signup", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    # coalesce: engines/pandas render no-prior-signup NULLs differently
+    return ev.select(
+        "event_id", "user_id", F.coalesce(last_signup, F.lit(-1)).alias("last_signup_event_id")
+    )
+
+
+def q_multi_row_explode(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = T.tokens(T.normalize_text(F.col("text")))
+    ex = docs.select("doc_id", F.posexplode(toks).alias("pos0", "token"))
+    return ex.select(
+        "doc_id", (F.col("pos0") + 1).cast("bigint").alias("event_row_index"), "token"
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics (scan/agg/join plans — Catalyst/broadcast checks)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "count_order",
+        )
+    )
+
+
+def q_revenue_top_orders(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    joined = (
+        orders.join(rev, orders.o_orderkey == rev.l_orderkey)
+        .join(F.broadcast(cust.select("c_custkey", "c_mktsegment")), orders.o_custkey == F.col("c_custkey"))
+    )
+    return (
+        joined.select("o_orderkey", "c_mktsegment", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_broadcast_region_rollup(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region")
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "r_name"
+        )
+    )
+    return (
+        cust.join(dims, cust.c_nationkey == dims.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .select("r_name", "n_customers", "avg_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text / multimodal
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+        .select("fp", "keep_doc_id", "n_dups")
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return fuzzy.minhash_signatures(docs, n_hashes=8, shingle_k=5)
+
+
+def q_minhash_dup_pairs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return fuzzy.minhash_dup_pairs(docs, n_hashes=8, shingle_k=5, jaccard_threshold=0.35)
+
+
+def q_simhash_docs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return fuzzy.simhash(docs, bits=16)
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    # fixed blocking: compare doc_id with doc_id+1 (deterministic pair set)
+    pairs = docs.select(F.col("doc_id").alias("id_a")).withColumn(
+        "id_b", F.col("id_a") + 1
+    ).filter(F.col("id_b") <= docs.agg(F.max("doc_id")).collect()[0][0])
+    return fuzzy.ngram_jaccard(docs, pairs, shingle_k=5, threshold=0.0)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_topk_bruteforce(emb, probes, k=3).select(
+        "probe_id", "neighbor_id", "sim", "rank"
+    )
+
+
+def q_lsh_buckets(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", similarity.lsh_bucket(F.col("embedding"), dims=64, n_planes=16).alias("bucket")
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(
+        emb, threshold=0.3, dims=64, n_planes=8
+    ).select("id_a", "id_b", "sim")
+
+
+def q_lang_id_docs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_quality_scores(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+def q_token_counts(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_subtokens"),
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from myzql_binlog_connector_spark.operators.multimodal import decode_media
+
+    docs = _read(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    meta = decode_media(media, fake=True)
+    return meta.select("media_id", "byte_len", "width", "height", "format")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_decode_roundtrip": q_cdc_decode_roundtrip,
+        "cdc_apply_state": q_cdc_apply_state,
+        "cdc_envelope_counts": q_cdc_envelope_counts,
+        "cdc_bounded_replay": q_cdc_bounded_replay,
+        "cdc_table_filter": q_cdc_table_filter,
+        "lww_dedup_events": q_lww_dedup_events,
+        "lww_dedup_salted_events": q_lww_dedup_salted_events,
+        "event_type_filter": q_event_type_filter,
+        "position_range_filter": q_position_range_filter,
+        "table_include_exclude": q_table_include_exclude,
+        "asof_join_events": q_asof_join_events,
+        "multi_row_explode": q_multi_row_explode,
+        "pricing_summary": q_pricing_summary,
+        "revenue_top_orders": q_revenue_top_orders,
+        "broadcast_region_rollup": q_broadcast_region_rollup,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_dup_pairs": q_minhash_dup_pairs,
+        "simhash_docs": q_simhash_docs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "lsh_buckets": q_lsh_buckets,
+        "embedding_near_dup": q_embedding_near_dup,
+        "lang_id_docs": q_lang_id_docs,
+        "quality_scores": q_quality_scores,
+        "token_counts": q_token_counts,
+        "doc_fingerprints": q_doc_fingerprints,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB dialect; tables pre-registered as views)
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tf = TableFilter(include=["src1.*", "*.en"], exclude=["src1.de"])
+    norm = T.normalize_sql("text")
+    toks = f"CASE WHEN {norm}='' THEN [] ELSE regexp_split_to_array({norm}, '\\s+') END"
+    width = "64 + (CAST(concat('0x', substring(md5(text),1,2)) AS INT) % 64) * 16"
+    height = "64 + (CAST(concat('0x', substring(md5(text),3,2)) AS INT) % 64) * 16"
+    cos_ab = similarity.cosine_sql("a.embedding", "b.embedding")
+    bucket8 = similarity.lsh_bucket_sql("embedding", 64, 8)
+    shingle_cte = fuzzy.shingle_cte_sql("documents", "text", "doc_id", 5)
+
+    return {
+        "cdc_decode_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+        "cdc_apply_state": """
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value,
+                   props
+            FROM events WHERE event_type <> 'click'
+        """,
+        "cdc_envelope_counts": """
+            SELECT 'corpus' AS database, 'documents' AS table_name,
+                   'INSERT' AS dml_type, CAST(count(*) AS BIGINT) AS n
+            FROM documents
+        """,
+        "cdc_bounded_replay": """
+            SELECT doc_id, text FROM documents
+            WHERE doc_id < (SELECT CAST(ceil(count(*) / 2.0) AS BIGINT) FROM documents)
+        """,
+        "cdc_table_filter": "SELECT CAST(NULL AS VARCHAR) AS dml_type, CAST(NULL AS VARCHAR) AS after_values WHERE FALSE",
+        "lww_dedup_events": """
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+              ) AS rn FROM events
+            ) WHERE rn = 1
+        """,
+        "lww_dedup_salted_events": """
+            SELECT user_id, event_type, event_id, value FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+              ) AS rn FROM events
+            ) WHERE rn = 1
+        """,
+        "event_type_filter": """
+            SELECT event_id, user_id, event_type FROM events
+            WHERE event_type IN ('click', 'purchase')
+        """,
+        "position_range_filter": (
+            "SELECT event_id, user_id FROM events WHERE "
+            + position_range_sql("CAST(user_id AS INT)", "event_id", (5, 100), (12, 500))
+        ),
+        "table_include_exclude": (
+            "SELECT doc_id, source, lang FROM documents WHERE "
+            + tf.to_sql_case("source", "lang")
+        ),
+        "asof_join_events": """
+            SELECT event_id, user_id,
+                   coalesce(last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+                   AS last_signup_event_id
+            FROM events
+        """,
+        "multi_row_explode": f"""
+            SELECT doc_id,
+                   CAST(generate_subscripts(t, 1) AS BIGINT) AS event_row_index,
+                   unnest(t) AS token
+            FROM (SELECT doc_id, {toks} AS t FROM documents WHERE doc_id < 50)
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_top_orders": """
+            SELECT o_orderkey, c_mktsegment, revenue FROM (
+              SELECT o.o_orderkey, c.c_mktsegment,
+                     round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+              FROM orders o
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              GROUP BY o.o_orderkey, c.c_mktsegment
+            ) ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "broadcast_region_rollup": """
+            SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_customers,
+                   round(avg(c.c_acctbal), 4) AS avg_acctbal
+            FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name
+        """,
+        "exact_dedup_docs": f"""
+            SELECT {T.fingerprint_sql('text')} AS fp,
+                   CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "minhash_signatures": fuzzy.minhash_signature_sql("documents", "text", "doc_id", 8, 5),
+        "minhash_dup_pairs": f"""
+            WITH {shingle_cte},
+            sigs AS (
+              SELECT doc_id,
+                     {', '.join(f"min({T.h60_sql('sh', str(i)) }) AS mh_{i}" for i in range(8))}
+              FROM shingled GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, band, mh FROM sigs,
+              LATERAL (VALUES {', '.join(
+                  f"({b}, concat(CAST(mh_{2*b} AS VARCHAR), '_', CAST(mh_{2*b+1} AS VARCHAR)))"
+                  for b in range(4)
+              )}) AS v(band, mh)
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.mh = r.mh AND l.doc_id < r.doc_id
+            ),
+            sets AS (
+              SELECT doc_id, list(DISTINCT sh) AS shset FROM shingled GROUP BY doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.shset, b.shset))), 4) AS jaccard
+            FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b
+            WHERE round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.shset, b.shset))), 4) >= 0.35
+        """,
+        "simhash_docs": fuzzy.simhash_sql("documents", "text", "doc_id", 16),
+        "ngram_jaccard_pairs": f"""
+            WITH {shingle_cte},
+            sets AS (SELECT doc_id, list(DISTINCT sh) AS shset FROM shingled GROUP BY doc_id),
+            pairs AS (
+              SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+              WHERE doc_id + 1 <= (SELECT max(doc_id) FROM documents)
+            )
+            SELECT p.id_a, p.id_b,
+                   round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.shset, b.shset))), 4) AS jaccard
+            FROM pairs p JOIN sets a ON a.doc_id = p.id_a JOIN sets b ON b.doc_id = p.id_b
+        """,
+        "ann_cosine_topk": f"""
+            SELECT probe_id, neighbor_id, sim, rank FROM (
+              SELECT b.vec_id AS probe_id, a.vec_id AS neighbor_id,
+                     round({cos_ab}, 4) AS sim,
+                     CAST(row_number() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY round({cos_ab}, 4) DESC, a.vec_id ASC
+                     ) AS INT) AS rank
+              FROM embeddings a JOIN embeddings b
+                ON b.vec_id < 10 AND a.vec_id <> b.vec_id
+            ) WHERE rank <= 3
+        """,
+        "lsh_buckets": f"""
+            SELECT vec_id, CAST({similarity.lsh_bucket_sql('embedding', 64, 16)} AS BIGINT) AS bucket
+            FROM embeddings
+        """,
+        "embedding_near_dup": f"""
+            WITH b AS (
+              SELECT vec_id, embedding, {bucket8} AS bucket FROM embeddings
+            )
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({cos_ab}, 4) AS sim
+            FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round({cos_ab}, 4) >= 0.3
+        """,
+        "lang_id_docs": f"SELECT doc_id, {T.lang_id_sql('text')} AS lang_pred FROM documents",
+        "quality_scores": f"SELECT doc_id, {T.quality_score_sql('text')} AS quality FROM documents",
+        "token_counts": f"""
+            SELECT doc_id,
+                   CAST(CASE WHEN trim(text)='' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_subtokens
+            FROM documents
+        """,
+        "doc_fingerprints": f"SELECT doc_id, {T.fingerprint_sql('text')} AS fp FROM documents",
+        "multimodal_meta": f"""
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                   CAST({width} AS INT) AS width,
+                   CAST({height} AS INT) AS height,
+                   'png' AS format
+            FROM documents
+        """,
+    }

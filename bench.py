@@ -1,0 +1,188 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship measurement is the north metric's sandbox form: change-events/
+sec applied end-to-end (synthetic binlog replay → decode → LWW → merged
+lake-table state).  The synthetic stream is generated once per (sf, seed)
+and cached under /tmp — generation is fixture cost, not engine time.
+
+Scaling evidence across parallelism levels is produced by
+scripts/scaling_bench.py (writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CDC_OPS_TARGET = int(os.environ.get("SPARK_GRAFT_CDC_OPS", "400000"))
+SEED = 42
+
+
+def cdc_cache_dir(sf_tag: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bench_cache/{sf_tag}-seed{SEED}-ops{CDC_OPS_TARGET}",
+    )
+
+
+def ensure_cdc_fixture(sf_tag: str) -> tuple[str, int]:
+    """Generate (once) and cache the synthetic binlog segment store.
+    Returns (segments_dir, n_change_rows)."""
+    from myzql_binlog_connector_spark.genlog import (
+        generate_ops,
+        encode_stream,
+        write_segments_parquet,
+    )
+
+    root = cdc_cache_dir(sf_tag)
+    seg_dir = os.path.join(root, "segments")
+    meta_path = os.path.join(root, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return seg_dir, json.load(f)["n_ops"]
+    # ~4.5 turns/conv average → n_convs sized to hit the ops target
+    n_convs = max(100, int(CDC_OPS_TARGET / 6.3))
+    ops = generate_ops(seed=SEED, n_convs=n_convs, max_turns=8,
+                       update_frac=0.3, delete_frac=0.1)
+    stream = encode_stream(ops, n_segments=64, seed=SEED)
+    os.makedirs(root, exist_ok=True)
+    write_segments_parquet(stream, seg_dir)
+    with open(meta_path, "w") as f:
+        json.dump({"n_ops": len(ops)}, f)
+    return seg_dir, len(ops)
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def bench_cdc_replay(spark, sf_tag: str, n_buckets: int = 32) -> dict:
+    """North-metric measurement: decode + LWW + merge, end to end."""
+    from myzql_binlog_connector_spark.functions.decode import decode_changes
+    from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+    from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+    seg_dir, n_ops = ensure_cdc_fixture(sf_tag)
+    table_dir = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        t0 = time.monotonic()
+        events = spark.read.parquet(seg_dir)
+        env = decode_changes(events)
+        table = BucketedLakeTable(
+            spark, table_dir, ["conv_id", "turn_idx"], n_buckets=n_buckets
+        )
+        applier = TranscriptsApplier(spark, table, salt=None)
+        rec = applier.apply_batch(env, batch_id=0)
+        n_final = table.read().count()
+        wall = time.monotonic() - t0
+        return {
+            "sec": round(wall, 3),
+            "change_rows": n_ops,
+            "rows_per_sec": round(n_ops / wall, 1),
+            "final_rows": n_final,
+            "merge_input_rows": rec.get("input_rows"),
+        }
+    finally:
+        shutil.rmtree(table_dir, ignore_errors=True)
+
+
+def bench_decode_only(spark, sf_tag: str) -> dict:
+    """Isolates the vectorized decode stage (reference comparison point:
+    594k rows/sec single-node, README.md:427)."""
+    from myzql_binlog_connector_spark.functions.decode import decode_changes
+
+    seg_dir, n_ops = ensure_cdc_fixture(sf_tag)
+    t0 = time.monotonic()
+    events = spark.read.parquet(seg_dir)
+    n = decode_changes(events).count()
+    wall = time.monotonic() - t0
+    return {"sec": round(wall, 3), "rows": n, "rows_per_sec": round(n / wall, 1)}
+
+
+HEADLINE = [
+    "lww_dedup_events",
+    "lww_dedup_salted_events",
+    "asof_join_events",
+    "pricing_summary",
+    "revenue_top_orders",
+    "broadcast_region_rollup",
+    "exact_dedup_docs",
+    "minhash_signatures",
+    "minhash_dup_pairs",
+    "simhash_docs",
+    "ann_cosine_topk",
+    "lsh_buckets",
+    "embedding_near_dup",
+    "lang_id_docs",
+    "quality_scores",
+    "token_counts",
+    "multimodal_meta",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(sf_tag.replace("sf", "")) if sf_tag.startswith("sf") else None
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qfns = entry.queries()
+    queries: dict[str, float] = {}
+
+    # flagship: CDC replay end-to-end
+    cdc = bench_cdc_replay(spark, sf_tag)
+    queries["cdc_replay_e2e"] = cdc["sec"]
+    dec = bench_decode_only(spark, sf_tag)
+    queries["cdc_decode_only"] = dec["sec"]
+
+    for name in HEADLINE:
+        fn = qfns[name]
+        t0 = time.monotonic()
+        # count() forces full execution without collecting rows to driver
+        fn(spark, sf_dir).count()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": cpus,
+        "cdc_replay": cdc,
+        "cdc_decode": dec,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Driver-contract harness: deterministic CDC streams derived from the
+read-only testdata tables, so `__spark_entry__.py` queries can exercise the
+binlog decode/apply path with a DuckDB-expressible oracle.
+
+The op stream derived from a table is a pure function of the table, so the
+oracle is plain SQL over the same table:
+
+  documents roundtrip: INSERT every row        → oracle: SELECT *
+  events apply-state:  INSERT every row,
+                       UPDATE value←value*2 where event_id%3=0 (later gtid),
+                       DELETE where event_type='click'
+                       → oracle: CASE/WHERE over events
+
+Encoding happens driver-side with pyarrow (testdata is small at correctness
+scale); the decode/dedup/apply path under test is fully distributed.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .binlog.constants import ColumnType
+from .binlog.encoder import ColumnSpec, EventWriter, TableSchema
+from .functions.decode import decode_changes
+from .operators.dedup import lww_dedup
+from .sources.segments import EVENTS_SCHEMA
+
+DOCS_SCHEMA = TableSchema(
+    database="corpus",
+    table="documents",
+    columns=(
+        ColumnSpec(ColumnType.LONGLONG, 0, False),  # doc_id
+        ColumnSpec(ColumnType.VARCHAR, 16384),      # text (2B length prefix)
+        ColumnSpec(ColumnType.VARCHAR, 16),         # lang
+        ColumnSpec(ColumnType.VARCHAR, 64),         # source
+        ColumnSpec(ColumnType.LONGLONG, 0),         # n_chars
+    ),
+    column_names=("doc_id", "text", "lang", "source", "n_chars"),
+)
+
+EVENTS_TBL_SCHEMA = TableSchema(
+    database="app",
+    table="events",
+    columns=(
+        ColumnSpec(ColumnType.LONGLONG, 0, False),  # event_id
+        ColumnSpec(ColumnType.LONGLONG, 0, False),  # user_id
+        ColumnSpec(ColumnType.VARCHAR, 32),         # event_type
+        ColumnSpec(ColumnType.DOUBLE, 8),           # value
+        ColumnSpec(ColumnType.VARCHAR, 256),        # props
+    ),
+    column_names=("event_id", "user_id", "event_type", "value", "props"),
+)
+
+
+def _events_df_from_writer(
+    spark: SparkSession, writers: list[EventWriter]
+) -> DataFrame:
+    rows = []
+    gtid = 0
+    for file_seq, w in enumerate(writers, start=1):
+        for event_seq, (offset, pkt) in enumerate(w.events):
+            gtid += 1
+            rows.append((file_seq, offset, gtid, gtid, bytearray(pkt)))
+    return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+
+def docs_cdc_events(spark: SparkSession, sf_dir: str, n_segments: int = 2) -> DataFrame:
+    """Encode every documents row as WRITE_ROWS across segments."""
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    per = max(1, (len(tbl) + n_segments - 1) // n_segments)
+    writers = []
+    for s in range(n_segments):
+        chunk = tbl[s * per : (s + 1) * per]
+        w = EventWriter(server_id=1)
+        w.format_description()
+        w.table_map(7, DOCS_SCHEMA)
+        for i in range(0, len(chunk), 80):
+            rows = [
+                (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+                for r in chunk[i : i + 80]
+            ]
+            w.write_rows(7, DOCS_SCHEMA, rows)
+        w.rotate(f"binlog.{s + 2:06d}")
+        writers.append(w)
+    return _events_df_from_writer(spark, writers)
+
+
+def events_cdc_stream(spark: SparkSession, sf_dir: str, n_segments: int = 3) -> DataFrame:
+    """Mixed op stream over the events table (pure function of the table):
+    INSERT all → UPDATE (value*2) where event_id%3=0 → DELETE clicks."""
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "value", "props"]
+    ).to_pylist()
+    inserts = [
+        (r["event_id"], r["user_id"], r["event_type"], r["value"], r["props"])
+        for r in tbl
+    ]
+    updates = [
+        (
+            (r["event_id"], r["user_id"], r["event_type"], r["value"], r["props"]),
+            (r["event_id"], r["user_id"], r["event_type"], r["value"] * 2, r["props"]),
+        )
+        for r in tbl
+        if r["event_id"] % 3 == 0
+    ]
+    deletes = [
+        (r["event_id"], r["user_id"], r["event_type"],
+         r["value"] * 2 if r["event_id"] % 3 == 0 else r["value"], r["props"])
+        for r in tbl
+        if r["event_type"] == "click"
+    ]
+
+    phases = [("I", inserts), ("U", updates), ("D", deletes)]
+    writers = []
+    w = None
+    per = max(1, (len(inserts) + len(updates) + len(deletes)) // n_segments + 1)
+    emitted = 0
+
+    def new_writer():
+        w = EventWriter(server_id=1)
+        w.format_description()
+        w.table_map(8, EVENTS_TBL_SCHEMA)
+        return w
+
+    w = new_writer()
+    for kind, items in phases:
+        for i in range(0, len(items), 80):
+            chunk = items[i : i + 80]
+            if kind == "I":
+                w.write_rows(8, EVENTS_TBL_SCHEMA, chunk)
+            elif kind == "U":
+                w.update_rows(8, EVENTS_TBL_SCHEMA, chunk)
+            else:
+                w.delete_rows(8, EVENTS_TBL_SCHEMA, chunk)
+            emitted += len(chunk)
+            if emitted >= per:
+                w.rotate(f"binlog.{len(writers) + 2:06d}")
+                writers.append(w)
+                w = new_writer()
+                emitted = 0
+    w.rotate("binlog.999999")
+    writers.append(w)
+    return _events_df_from_writer(spark, writers)
+
+
+def typed_final_state(
+    envelope: DataFrame,
+    schema: TableSchema,
+    key_positions: tuple[int, ...],
+    spark_types: list[str],
+) -> DataFrame:
+    """Decode envelope → typed payload → LWW → live rows.
+
+    ``spark_types``: Spark SQL type strings per column (positional)."""
+    struct_ddl = ", ".join(f"c{i} {t}" for i, t in enumerate(spark_types))
+    df = envelope.withColumn("_after", F.from_json("after_values", struct_ddl)).withColumn(
+        "_before", F.from_json("before_values", struct_ddl)
+    )
+    cols = []
+    for i, name in enumerate(schema.column_names):
+        src = (
+            F.coalesce(F.col(f"_after.c{i}"), F.col(f"_before.c{i}"))
+            if i in key_positions
+            else F.col(f"_after.c{i}")
+        )
+        cols.append(src.alias(name))
+    typed = df.select(
+        *cols,
+        (F.col("dml_type") == "DELETE").alias("_deleted"),
+        "gtid",
+        "event_seq",
+        "event_row_index",
+    )
+    keys = [schema.column_names[i] for i in key_positions]
+    latest = lww_dedup(typed, keys, ["gtid", "event_seq", "event_row_index"])
+    return latest.filter(~F.col("_deleted")).drop(
+        "_deleted", "gtid", "event_seq", "event_row_index"
+    )

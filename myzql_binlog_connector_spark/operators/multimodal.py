@@ -1,0 +1,121 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video travel as ``binary`` columns with a metadata struct.
+The Spark-side machinery — schema, partition-friendly batch shape,
+``mapInPandas`` Arrow UDFs — is real and tested; the actual codec calls are
+STUBBED (this container has no image/audio libraries): ``decode_media``
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic metadata extractor stands in so the distributed plumbing can
+be exercised end-to-end.
+
+Batch shape: ``mapInPandas`` receives Arrow batches (pandas DataFrames);
+binary payloads stay as Python ``bytes`` inside the batch — zero-copy from
+Arrow.  Partitioning: media rows are heavy, so upstream should
+``repartitionByRange`` on size or use ``maxRecordsPerBatch`` to bound batch
+memory; the functions here are shape-preserving (1 row in → 1 row out) or
+exploding (frame sampling) and never collect.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("byte_len", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("format", StringType(), True),
+    ]
+)
+
+
+def _fake_meta(payload: bytes, kind: str) -> dict:
+    """Deterministic stand-in for a real codec: derives plausible metadata
+    from an md5 of the payload.  Replace with PIL/ffmpeg on a real cluster."""
+    h = hashlib.md5(payload).digest()
+    width = 64 + (h[0] % 64) * 16
+    height = 64 + (h[1] % 64) * 16
+    return {
+        "byte_len": len(payload),
+        "width": width if kind == "image" else None,
+        "height": height if kind == "image" else None,
+        "duration_ms": (1000 + int.from_bytes(h[2:4], "big")) if kind in ("audio", "video") else None,
+        "format": {"image": "png", "audio": "wav", "video": "mp4"}[kind],
+    }
+
+
+def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Extract metadata from the binary payload via mapInPandas.
+
+    ``fake=False`` raises NotImplementedError inside the UDF (no codec libs
+    in this container); ``fake=True`` uses the deterministic stand-in.
+    Input needs columns (media_id, kind, payload)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for payload, kind in zip(pdf["payload"], pdf["kind"]):
+                if payload is None:
+                    metas.append({"byte_len": None, "width": None, "height": None,
+                                  "duration_ms": None, "format": None})
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "real media decoding requires PIL/ffmpeg — not in this container"
+                    )
+                metas.append(_fake_meta(bytes(payload), kind))
+            meta_df = pd.DataFrame(metas)
+            out = pdf[["media_id", "kind", "payload"]].reset_index(drop=True)
+            yield pd.concat([out, meta_df], axis=1)
+
+    return df.mapInPandas(extract, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
+    """Frame sampling stub: deterministically slices the payload into
+    ``max_frames`` pseudo-frames (real impl: ffmpeg keyframe extraction).
+    Demonstrates the exploding (1→N) mapInPandas shape."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                n = min(max_frames, max(1, len(raw) // max(every_n, 1)))
+                step = max(1, len(raw) // n)
+                for j in range(n):
+                    ids.append(mid)
+                    idxs.append(j)
+                    frames.append(raw[j * step : (j + 1) * step])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(sample, schema=FRAME_SCHEMA)

@@ -1,0 +1,201 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring, token counting,
+document fingerprinting, and shingling primitives.  Everything here is pure
+``pyspark.sql.functions`` column algebra — JVM-side, whole-stage-codegen,
+no Python in the hot path — so it runs at 100 TB scan speed.  Each operator
+has an exact ANSI-SQL mirror (``*_SQL`` or the builder functions' ``sql=``
+docstrings) used by the DuckDB oracles in ``__spark_entry__.py``.
+
+Cross-engine determinism: hashes are md5-based (identical in Spark and
+DuckDB); floats are rounded before comparison/ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# ---------------------------------------------------------------------------
+# normalization / tokens / shingles
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(col: Column) -> Column:
+    """lower → strip non-[a-z0-9 ] → collapse whitespace → trim.
+    SQL mirror: trim(regexp_replace(regexp_replace(lower(x),
+    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the *raw* string (empty string → empty array).
+    SQL mirror: CASE WHEN trim(x)='' THEN [] ELSE regexp_split_to_array(trim(x), '\\s+') END"""
+    return F.when(F.trim(col) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(col), r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token estimate: words + punctuation runs counted
+    separately (a cheap BPE proxy: splits on boundaries between letter,
+    digit and symbol runs).
+    SQL mirror: uses the same regexp with regexp_extract_all."""
+    # count of maximal runs of [a-zA-Z]+ | [0-9]+ | single non-space symbol
+    pattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def with_shingles(df, text_col: str, k: int = 5, out: str = "shingles"):
+    """DataFrame helper: adds a distinct char-k-gram shingle array."""
+    norm = normalize_text(F.col(text_col))
+    df = df.withColumn("__norm__", norm)
+    n = F.length("__norm__")
+    sh = F.when(n <= k, F.array(F.col("__norm__"))).otherwise(
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, length(__norm__) - {k} + 1), i -> substring(__norm__, i, {k}))"
+            )
+        )
+    )
+    return df.withColumn(out, sh).drop("__norm__")
+
+
+# ---------------------------------------------------------------------------
+# md5-based 60-bit hash (identical in Spark and DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def h60(col: Column, seed: int | Column = 0) -> Column:
+    """Deterministic 60-bit integer hash: first 15 hex chars of
+    md5(seed || ':' || value).
+    SQL mirror: CAST(concat('0x', substring(md5(concat(CAST(seed AS VARCHAR), ':', x)),1,15)) AS BIGINT)"""
+    seed_c = F.lit(str(seed)) if isinstance(seed, int) else seed.cast("string")
+    return F.conv(
+        F.substring(F.md5(F.concat(seed_c, F.lit(":"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def h60_sql(expr: str, seed: str = "0") -> str:
+    return (
+        f"CAST(concat('0x', substring(md5(concat(CAST({seed} AS VARCHAR), ':', {expr})),1,15)) AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (stopword-hit heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS = {
+    "en": ("the", "and", "is", "of", "to", "in"),
+    "de": ("der", "und", "die", "ist", "nicht", "das"),
+    "fr": ("le", "la", "et", "les", "est", "une"),
+    "es": ("el", "los", "que", "es", "una", "para"),
+}
+_LANG_ORDER = ("en", "de", "fr", "es")
+
+
+def lang_hits(col: Column, lang: str) -> Column:
+    toks = tokens(normalize_text(col))
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+
+
+def lang_id(col: Column) -> Column:
+    """argmax of marker hits, ties broken by _LANG_ORDER; no hits → 'und'."""
+    hits = {lang: lang_hits(col, lang) for lang in _LANG_ORDER}
+    g = F.greatest(*hits.values())
+    expr = F.when(g <= 0, F.lit("und"))
+    for lang in _LANG_ORDER:
+        expr = expr.when(hits[lang] == g, F.lit(lang))
+    return expr
+
+
+def lang_id_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`lang_id`."""
+    norm = (
+        f"trim(regexp_replace(regexp_replace(lower({expr}), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+    toks = f"CASE WHEN {norm}='' THEN [] ELSE regexp_split_to_array({norm}, '\\s+') END"
+    hit_exprs = {}
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hit_exprs[lang] = f"len(list_filter({toks}, t -> t IN ({lst})))"
+    g = "greatest(" + ", ".join(hit_exprs[lang] for lang in _LANG_ORDER) + ")"
+    sql = f"CASE WHEN {g} <= 0 THEN 'und' "
+    for lang in _LANG_ORDER:
+        sql += f"WHEN {hit_exprs[lang]} = {g} THEN '{lang}' "
+    return sql + "ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + alpha ratio + stopword
+    presence − symbol noise.  All integer counts + one rounded double.
+    SQL mirror: quality_score_sql."""
+    n = F.length(col)
+    alpha = F.length(F.regexp_replace(col, "[^a-zA-Z]", ""))
+    symbols = F.length(F.regexp_replace(col, "[a-zA-Z0-9\\s]", ""))
+    stop_hits = lang_hits(col, "en")
+    toks = token_count(col)
+    score = (
+        F.when(n >= 200, F.lit(0.3)).when(n >= 50, F.lit(0.2)).when(n >= 10, F.lit(0.1)).otherwise(F.lit(0.0))
+        + F.when(n > 0, 0.4 * alpha / n).otherwise(F.lit(0.0))
+        + F.when(toks > 0, F.least(F.lit(0.2), 0.05 * stop_hits)).otherwise(F.lit(0.0))
+        - F.when(n > 0, F.least(F.lit(0.3), 1.0 * symbols / n)).otherwise(F.lit(0.0))
+    )
+    return F.round(F.greatest(F.lit(0.0), F.least(F.lit(1.0), score)), 4)
+
+
+def quality_score_sql(expr: str) -> str:
+    n = f"length({expr})"
+    alpha = f"length(regexp_replace({expr}, '[^a-zA-Z]', '', 'g'))"
+    symbols = f"length(regexp_replace({expr}, '[a-zA-Z0-9\\s]', '', 'g'))"
+    norm = (
+        f"trim(regexp_replace(regexp_replace(lower({expr}), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+    toks_arr = f"CASE WHEN {norm}='' THEN [] ELSE regexp_split_to_array({norm}, '\\s+') END"
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    stop_hits = f"len(list_filter({toks_arr}, t -> t IN ({markers})))"
+    raw_toks = f"CASE WHEN trim({expr})='' THEN [] ELSE regexp_split_to_array(trim({expr}), '\\s+') END"
+    toks = f"len({raw_toks})"
+    score = (
+        f"(CASE WHEN {n} >= 200 THEN 0.3 WHEN {n} >= 50 THEN 0.2 WHEN {n} >= 10 THEN 0.1 ELSE 0.0 END"
+        f" + CASE WHEN {n} > 0 THEN 0.4 * {alpha} / {n} ELSE 0.0 END"
+        f" + CASE WHEN {toks} > 0 THEN least(0.2, 0.05 * {stop_hits}) ELSE 0.0 END"
+        f" - CASE WHEN {n} > 0 THEN least(0.3, 1.0 * {symbols} / {n}) ELSE 0.0 END)"
+    )
+    return f"round(greatest(0.0, least(1.0, {score})), 4)"
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+
+def fingerprint(col: Column) -> Column:
+    """Canonical document fingerprint: md5 of the normalized text.
+    SQL mirror: md5(<normalize_sql>)"""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_sql(expr: str) -> str:
+    return (
+        f"md5(trim(regexp_replace(regexp_replace(lower({expr}), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))"
+    )
+
+
+def normalize_sql(expr: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({expr}), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
