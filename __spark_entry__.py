@@ -477,8 +477,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dup_pairs": f"""
             WITH {shingle_cte},
             sigs AS (
-              SELECT doc_id,
-                     {', '.join(f"min({T.h60_sql('sh', str(i)) }) AS mh_{i}" for i in range(8))}
+              SELECT doc_id, {fuzzy.minhash_sig_select_sql(8)}
               FROM shingled GROUP BY doc_id
             ),
             bands AS (

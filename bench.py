@@ -94,7 +94,7 @@ def bench_cdc_replay(spark, sf_tag: str, n_buckets: int = 32) -> dict:
             spark, table_dir, ["conv_id", "turn_idx"], n_buckets=n_buckets
         )
         applier = TranscriptsApplier(spark, table, salt=None)
-        rec = applier.apply_batch(env, batch_id=0)
+        rec = applier.apply_batch(env, batch_id=0, raw_events=events)
         n_final = table.read().count()
         wall = time.monotonic() - t0
         return {

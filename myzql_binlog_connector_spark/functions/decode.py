@@ -110,6 +110,62 @@ def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 81
     return decode_partition
 
 
+SCHEMA_SCAN_SCHEMA = StructType(
+    [
+        StructField("database", StringType(), True),
+        StructField("table_name", StringType(), True),
+        StructField("payload_schema", StringType(), True),
+    ]
+)
+
+_ARROW_SCHEMA_SCAN = pa.schema(
+    [("database", pa.string()), ("table_name", pa.string()), ("payload_schema", pa.string())]
+)
+
+
+def scan_schemas(events_df: DataFrame) -> DataFrame:
+    """Light pre-pass: parse only the 19-byte headers and TABLE_MAP events,
+    emitting (database, table_name, payload_schema) rows.  Row decode is
+    skipped entirely, so this costs ~1% of a full decode — it feeds the
+    typed-extraction schema without persisting the decoded envelope."""
+    import json as _json
+
+    from ..binlog.constants import CRC_LEN, HEADER_LEN, EventType
+    from ..binlog.decoder import parse_table_map
+    from ..binlog.wire import parse_header
+
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        seen: set[str] = set()
+        rows: list[tuple[str, str, str]] = []
+        for batch in batches:
+            blobs = batch.column("event_blob")
+            for i in range(batch.num_rows):
+                blob = memoryview(blobs[i].as_py())
+                body = blob[1 : len(blob) - CRC_LEN]
+                if parse_header(body).event_type != EventType.TABLE_MAP:
+                    continue
+                _tid, schema = parse_table_map(body[HEADER_LEN:])
+                desc = _json.dumps(
+                    [[c.type_code, c.meta, int(c.nullable)] for c in schema.columns],
+                    separators=(",", ":"),
+                )
+                key = f"{schema.database}|{schema.table}|{desc}"
+                if key not in seen:
+                    seen.add(key)
+                    rows.append((schema.database, schema.table, desc))
+        if rows:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "database": [r[0] for r in rows],
+                    "table_name": [r[1] for r in rows],
+                    "payload_schema": [r[2] for r in rows],
+                },
+                schema=_ARROW_SCHEMA_SCAN,
+            )
+
+    return events_df.mapInArrow(scan, schema=SCHEMA_SCAN_SCHEMA).distinct()
+
+
 def decode_changes(
     events_df: DataFrame,
     table_filter=None,
@@ -130,8 +186,13 @@ def decode_changes(
     """
     df = events_df
     if not already_partitioned:
-        # hash-partition whole segments together, then order within
-        df = df.repartition("file_seq").sortWithinPartitions("file_seq", "offset")
+        # hash-partition whole segments together, then order within.
+        # The partition count is explicit: AQE would otherwise coalesce this
+        # small-by-bytes shuffle into one task and serialize the decode —
+        # blob bytes are a bad proxy for decode CPU (each blob fans out to
+        # ~85 envelope rows).
+        n = events_df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(n, "file_seq").sortWithinPartitions("file_seq", "offset")
     return df.mapInArrow(
         make_decoder(table_filter=table_filter, stop_position=stop_position),
         schema=ENVELOPE_SCHEMA,

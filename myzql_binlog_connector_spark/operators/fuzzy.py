@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .text import h60, h60_sql, normalize_sql, with_shingles
+from .text import h60, h60_sql, normalize_sql, shingle_rows, shingle_sets
 
 
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
@@ -43,13 +43,36 @@ def minhash_signatures(
     n_hashes: int = 8,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, mh_0..mh_{n-1}): min over shingles of h60(i, shingle)."""
-    sh = with_shingles(_spread(df.select(id_col, text_col), id_col), text_col, k=shingle_k)
-    exploded = sh.select(id_col, F.explode("shingles").alias("sh"))
+    """(id, mh_0..mh_{n-1}): min over shingles of the i-th hash.
+
+    One md5 per shingle; the n hash functions come from Kirsch-
+    Mitzenmacher double hashing, mh_i = h1 + i·(h2 mod P): 8× fewer md5s
+    than independent seeded hashes with equivalent minhash behavior."""
+    exploded = shingle_rows(
+        _spread(df.select(id_col, text_col), id_col), text_col, id_col, k=shingle_k
+    )
+    m = F.md5(F.col("sh"))
+    h1 = F.conv(F.substring(m, 1, 15), 16, 10).cast("long")
+    h2 = F.pmod(F.conv(F.substring(m, 16, 15), 16, 10).cast("long"), F.lit(_KM_P))
+    hashed = exploded.select(id_col, h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(h60(F.col("sh"), seed=i)).alias(f"mh_{i}") for i in range(n_hashes)
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh_{i}")
+        for i in range(n_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
+
+
+_KM_P = 2147483647  # keeps h1 + i·h2 < 2^60 + 2^35: no 64-bit overflow
+
+
+def minhash_sig_select_sql(n_hashes: int = 8) -> str:
+    """``min(...) AS mh_i`` aggregate list over shingled(sh) — the DuckDB
+    mirror of the double-hashing scheme."""
+    h1 = "CAST(concat('0x', substring(md5(sh),1,15)) AS BIGINT)"
+    h2 = f"(CAST(concat('0x', substring(md5(sh),16,15)) AS BIGINT) % {_KM_P})"
+    return ", ".join(
+        f"min({h1} + {i} * {h2}) AS mh_{i}" for i in range(n_hashes)
+    )
 
 
 def minhash_signature_sql(
@@ -60,13 +83,9 @@ def minhash_signature_sql(
     shingle_k: int = 5,
 ) -> str:
     """DuckDB mirror of :func:`minhash_signatures`."""
-    norm = normalize_sql(text_expr)
-    mins = ", ".join(
-        f"min({h60_sql('sh', str(i))}) AS mh_{i}" for i in range(n_hashes)
-    )
     return f"""
     WITH {shingle_cte_sql(table, text_expr, id_col, shingle_k)}
-    SELECT {id_col}, {mins} FROM shingled GROUP BY {id_col}
+    SELECT {id_col}, {minhash_sig_select_sql(n_hashes)} FROM shingled GROUP BY {id_col}
     """
 
 
@@ -107,7 +126,7 @@ def minhash_dup_pairs(
     (r=1 floods the candidate set on corpora with shared common shingles —
     r≥2 keeps the false-candidate rate quadratic-safe at 10^9 docs), then
     exact shingle-Jaccard ≥ threshold verifies."""
-    sh = with_shingles(_spread(df.select(id_col, text_col), id_col), text_col, k=shingle_k)
+    sh = shingle_sets(_spread(df.select(id_col, text_col), id_col), text_col, id_col, k=shingle_k)
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     n_bands = n_hashes // band_rows
     # band key = concat of the band's r minhashes
@@ -230,7 +249,7 @@ def ngram_jaccard(
     """Exact char-n-gram Jaccard for given candidate pairs (id_a, id_b); if
     ``pairs`` is None, all same-``source`` pairs are compared (bounded
     blocking key for test-scale exactness)."""
-    sh = with_shingles(_spread(df.select(id_col, text_col), id_col), text_col, k=shingle_k)
+    sh = shingle_sets(_spread(df.select(id_col, text_col), id_col), text_col, id_col, k=shingle_k)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     if pairs is None:

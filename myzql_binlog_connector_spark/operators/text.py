@@ -52,19 +52,34 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
 
 
-def with_shingles(df, text_col: str, k: int = 5, out: str = "shingles"):
-    """DataFrame helper: adds a distinct char-k-gram shingle array."""
+def shingle_rows(df, text_col: str, id_col: str, k: int = 5):
+    """(id, sh) rows of character k-gram shingles (with duplicates).
+
+    Built from ``explode(sequence) + substring`` — plain codegen
+    expressions.  (Higher-order functions like ``transform`` run
+    interpreted in Spark and are ~50× slower on this path.)  Documents
+    shorter than k yield one whole-string shingle (substring clamps)."""
     norm = normalize_text(F.col(text_col))
-    df = df.withColumn("__norm__", norm)
-    n = F.length("__norm__")
-    sh = F.when(n <= k, F.array(F.col("__norm__"))).otherwise(
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, length(__norm__) - {k} + 1), i -> substring(__norm__, i, {k}))"
-            )
-        )
+    ex = df.select(F.col(id_col), norm.alias("__n__")).select(
+        id_col,
+        "__n__",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("__n__") - (k - 1)))
+        ).alias("__i__"),
     )
-    return df.withColumn(out, sh).drop("__norm__")
+    return ex.select(
+        id_col, F.expr(f"substring(__n__, __i__, {k})").alias("sh")
+    )
+
+
+def shingle_sets(df, text_col: str, id_col: str, k: int = 5, out: str = "shingles"):
+    """(id, shingles array<string>) with distinct shingles per document —
+    the set form used for exact Jaccard (one groupBy shuffle)."""
+    return (
+        shingle_rows(df, text_col, id_col, k)
+        .groupBy(id_col)
+        .agg(F.collect_set("sh").alias(out))
+    )
 
 
 # ---------------------------------------------------------------------------

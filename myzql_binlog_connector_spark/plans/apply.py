@@ -104,7 +104,7 @@ class TranscriptsApplier:
         column_names: list[str] = ("conv_id", "turn_idx", "role", "text", "tool", "ts"),
         extra_names: list[str] = ("score",),
         key_positions: tuple[int, int] = (0, 1),
-        salt: int | None = 16,
+        salt: int | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -123,17 +123,20 @@ class TranscriptsApplier:
 
     # ------------------------------------------------------------------
 
-    def typed_changes(self, envelope: DataFrame) -> DataFrame:
+    def typed_changes(self, envelope: DataFrame, descs: list[str] | None = None) -> DataFrame:
         """Envelope → typed change rows (payload cols + key + meta cols).
 
         ``from_json`` is JVM-side; the only driver work is collecting the
         tiny distinct set of schema descriptors (bounded by the number of
-        TABLE_MAP variants in the batch, not by row count)."""
-        descs = [
-            r[0]
-            for r in envelope.select("payload_schema").distinct().collect()
-            if r[0] is not None
-        ]
+        TABLE_MAP variants in the batch, not by row count).  Pass ``descs``
+        (e.g. from ``scan_schemas`` over the raw events) to avoid a full
+        decode pass for the descriptor scan."""
+        if descs is None:
+            descs = [
+                r[0]
+                for r in envelope.select("payload_schema").distinct().collect()
+                if r[0] is not None
+            ]
         if not descs:
             descs = ["[]"]
         struct = payload_struct_from_descs(descs)
@@ -188,10 +191,27 @@ class TranscriptsApplier:
         )
         return joined.filter(keep).drop("wm_file_seq", "wm_log_pos", "wm_eri")
 
-    def apply_batch(self, envelope: DataFrame, batch_id: int | None = None) -> dict:
+    def apply_batch(
+        self,
+        envelope: DataFrame,
+        batch_id: int | None = None,
+        raw_events: DataFrame | None = None,
+    ) -> dict:
         """Decode-envelope batch → exactly-once merge.  Returns the commit
-        lineage record (or a skip record when everything was redelivered)."""
-        typed = self.typed_changes(envelope)
+        lineage record (or a skip record when everything was redelivered).
+
+        With ``raw_events`` provided, the typed-extraction schema comes from
+        a TABLE_MAP-only pre-pass over the raw blobs (cheap) and the decode
+        runs exactly once, materialized into the persisted ``fresh`` frame.
+        Without it, the envelope is persisted and scanned for descriptors."""
+        descs = None
+        if raw_events is not None:
+            from ..functions.decode import scan_schemas
+
+            descs = [r["payload_schema"] for r in scan_schemas(raw_events).collect()]
+        else:
+            envelope = envelope.persist()
+        typed = self.typed_changes(envelope, descs=descs)
         fresh = self._watermark_filter(typed).persist()
         try:
             # per-file_seq high watermarks of this batch, committed with it
@@ -214,11 +234,25 @@ class TranscriptsApplier:
                 for r in wm_rows
             }
             changes = fresh.drop("_file_seq", "_log_pos")
+            if self.salt:
+                # optional salted pre-reduce (window path); the merge's
+                # max_by aggregate already pre-reduces map-side, so this is
+                # off by default and exists to exercise/compose the T8
+                # operator in window-based flows
+                from ..operators.dedup import lww_dedup_salted
+
+                changes = lww_dedup_salted(
+                    changes,
+                    self.table.key_cols,
+                    ["_gtid", "_event_seq", "_event_row_index"],
+                    salt=self.salt,
+                )
             return self.table.merge(
                 changes,
                 batch_id=batch_id,
-                salt=self.salt,
                 extra_lineage={"watermarks": new_wms},
             )
         finally:
             fresh.unpersist()
+            if raw_events is None:
+                envelope.unpersist()

@@ -41,7 +41,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
 MANIFEST_DIR = "_manifests"
@@ -148,7 +148,6 @@ class BucketedLakeTable:
         changes: DataFrame,
         order_cols: list[str] = ("_gtid", "_event_seq", "_event_row_index"),
         batch_id: int | None = None,
-        salt: int | None = None,
         extra_lineage: dict | None = None,
     ) -> dict:
         """Apply a change batch: upserts + tombstones, LWW per key.
@@ -201,45 +200,36 @@ class BucketedLakeTable:
                 changes = changes.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
         changes = changes.select(*[f_.name for f_ in schema.fields])
 
-        # --- watermark filter: drop already-applied rows (exactly-once) ----
+        # (watermark gating happens in the applier, pre-merge: T5/T6)
         wms = (m or {}).get("watermarks", {})
-        if wms and "_file_seq" in changes.columns:
-            pass  # file_seq-based filtering handled by applier pre-merge
-        # --- bucket assignment ---------------------------------------------
         bucket_expr = F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets))
-        changes = changes.withColumn("_bucket", bucket_expr)
-
-        # --- in-batch pre-reduce (cuts the union size before the window) ---
-        if salt:
-            from ..operators.dedup import lww_dedup_salted
-
-            changes = lww_dedup_salted(changes, self.key_cols + ["_bucket"], order_cols, salt=salt)
-        else:
-            w = Window.partitionBy(*self.key_cols, "_bucket").orderBy(
-                *[F.desc(c) for c in order_cols]
-            )
-            changes = changes.withColumn("_rn", F.row_number().over(w)).filter(
-                F.col("_rn") == 1
-            ).drop("_rn")
         changes = changes.persist()
         n_changes = changes.count()
 
         # --- dirty buckets ---------------------------------------------------
         dirty = sorted(
-            r["_bucket"] for r in changes.select("_bucket").distinct().collect()
+            r["b"]
+            for r in changes.select(bucket_expr.alias("b")).distinct().collect()
         )
         old_files = (m or {}).get("files", {})
         existing_files = [p for b in dirty for p in old_files.get(str(b), [])]
         existing = self._read_files(existing_files, schema_json) if m else None
-        if existing is not None and "_bucket" not in existing.columns:
-            existing = existing.withColumn("_bucket", bucket_expr)
 
+        # --- LWW reduce: one max_by hash aggregate, NOT a ranking window ---
+        # map-side partial aggregation pre-reduces hot keys inside each task
+        # before the shuffle, so conv_id skew never concentrates on one
+        # reducer (stronger than salting, which is still available as the
+        # lww_dedup_salted operator for window-based flows).  order_cols is
+        # a unique triple per change row, so the lexicographic struct max is
+        # deterministic.
         merged = changes if existing is None else existing.unionByName(changes)
-        w2 = Window.partitionBy(*self.key_cols).orderBy(*[F.desc(c) for c in order_cols])
+        row_struct = F.struct(*[F.col(f_.name) for f_ in schema.fields])
+        ord_struct = F.struct(*[F.col(c) for c in order_cols])
         final = (
-            merged.withColumn("_rn", F.row_number().over(w2))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            merged.groupBy(*self.key_cols)
+            .agg(F.max_by(row_struct, ord_struct).alias("_row"))
+            .select("_row.*")
+            .withColumn("_bucket", bucket_expr)
         )
 
         # --- write dirty buckets ---------------------------------------------

@@ -54,7 +54,9 @@ class BinlogReplayStream:
             table_filter=self.table_filter,
             stop_position=self.stop_position,
         )
-        record = self.applier.apply_batch(envelope, batch_id=batch_id)
+        record = self.applier.apply_batch(
+            envelope, batch_id=batch_id, raw_events=batch_df
+        )
         self.batch_records.append(record)
 
     def start(self, available_now: bool = True):

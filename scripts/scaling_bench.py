@@ -41,9 +41,11 @@ spark.stop()
 
 
 def run_level(cpus: int) -> dict:
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CDC_OPS", "1600000")
     proc = subprocess.run(
         [sys.executable, "-c", CHILD % {"repo": REPO}, str(cpus)],
-        capture_output=True, text=True, timeout=3600, cwd=REPO,
+        capture_output=True, text=True, timeout=3600, cwd=REPO, env=env,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT:"):
@@ -52,7 +54,8 @@ def run_level(cpus: int) -> dict:
 
 
 def main():
-    small, big = 8, 32
+    small = int(os.environ.get("SCALING_N", "4"))
+    big = small * 4
     r_small = run_level(small)
     r_big = run_level(big)
 

@@ -1,0 +1,176 @@
+"""Unit tests for the training-data pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog and runs away fast"),
+        (1, "The quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 0
+        (2, "The quick brown fox jumps over the lazy dog and walks away fast"),  # near dup
+        (3, "Der Hund und die Katze sind nicht das Problem der Stadt"),
+        (4, "completely different content about spark query engines"),
+        (5, ""),
+        (6, "le chat et la souris est une histoire les enfants"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestTextOps:
+    def test_token_count(self, spark, docs):
+        from myzql_binlog_connector_spark.operators.text import token_count
+
+        got = {r.doc_id: r.n for r in docs.select("doc_id", token_count(F.col("text")).alias("n")).collect()}
+        assert got[0] == 13
+        assert got[5] == 0
+
+    def test_lang_id(self, spark, docs):
+        from myzql_binlog_connector_spark.operators.text import lang_id
+
+        got = {r.doc_id: r.lang for r in docs.select("doc_id", lang_id(F.col("text")).alias("lang")).collect()}
+        assert got[0] == "en"
+        assert got[3] == "de"
+        assert got[6] == "fr"
+        assert got[5] == "und"
+
+    def test_fingerprint_ignores_case_and_punct(self, spark):
+        from myzql_binlog_connector_spark.operators.text import fingerprint
+
+        df = spark.createDataFrame(
+            [("Hello, World!",), ("hello world",), ("HELLO  world.",)], "t string"
+        )
+        fps = [r.fp for r in df.select(fingerprint(F.col("t")).alias("fp")).collect()]
+        assert len(set(fps)) == 1
+
+    def test_quality_score_ordering(self, spark):
+        from myzql_binlog_connector_spark.operators.text import quality_score
+
+        df = spark.createDataFrame(
+            [
+                ("good", "The market for industrial equipment is expanding and the suppliers of the region are investing in the new capacity."),
+                ("noise", "@@@@ #### $$$$ %%%% ^^^^ &&&& !!!"),
+            ],
+            "kind string, t string",
+        )
+        got = {r.kind: r.q for r in df.select("kind", quality_score(F.col("t")).alias("q")).collect()}
+        assert got["good"] > got["noise"]
+        assert 0.0 <= got["noise"] <= 1.0 <= got["good"] + 1
+
+    def test_bpe_ish_counts_more_than_words(self, spark):
+        from myzql_binlog_connector_spark.operators.text import (
+            bpe_ish_token_count,
+            token_count,
+        )
+
+        df = spark.createDataFrame([("it's a test-case, v2.0!",)], "t string")
+        r = df.select(
+            token_count(F.col("t")).alias("w"), bpe_ish_token_count(F.col("t")).alias("b")
+        ).collect()[0]
+        assert r.b > r.w
+
+
+class TestFuzzyDedup:
+    def test_exact_dup_same_signature(self, spark, docs):
+        from myzql_binlog_connector_spark.operators.fuzzy import minhash_signatures
+
+        sigs = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(8))
+                for r in minhash_signatures(docs, n_hashes=8).collect()}
+        assert sigs[0] == sigs[1]          # identical docs: identical signature
+        assert sigs[0] != sigs[4]          # unrelated docs differ
+
+    def test_minhash_pairs_find_dups(self, spark, docs):
+        from myzql_binlog_connector_spark.operators.fuzzy import minhash_dup_pairs
+
+        pairs = {(r.id_a, r.id_b): r.jaccard
+                 for r in minhash_dup_pairs(docs, jaccard_threshold=0.5).collect()}
+        assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+        assert (0, 2) in pairs and pairs[(0, 2)] > 0.5  # near dup
+        assert all(a != 4 and b != 4 for a, b in pairs)  # unrelated excluded
+
+    def test_simhash_near_dup_low_hamming(self, spark, docs):
+        from myzql_binlog_connector_spark.operators.fuzzy import simhash
+
+        sh = {r.doc_id: r.simhash for r in simhash(docs, bits=16).collect()}
+        assert sh[0] == sh[1]
+        ham = bin(sh[0] ^ sh[2]).count("1")
+        ham_far = bin(sh[0] ^ sh[4]).count("1")
+        assert ham <= ham_far
+
+    def test_exact_dedup_keeps_min_id(self, spark, docs):
+        from myzql_binlog_connector_spark.operators.dedup import exact_dedup
+
+        kept = exact_dedup(docs.filter("text <> ''"), ["text"], keep_col="doc_id")
+        ids = {r.doc_id for r in kept.collect()}
+        assert 0 in ids and 1 not in ids
+
+
+class TestSimilarity:
+    def test_cosine_identity(self, spark):
+        from myzql_binlog_connector_spark.operators.similarity import cosine
+
+        df = spark.createDataFrame([([1.0, 2.0, 3.0], [1.0, 2.0, 3.0])], "a array<float>, b array<float>")
+        got = df.select(F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()[0].c
+        assert got == 1.0
+
+    def test_topk_finds_duplicate_vector(self, spark):
+        from myzql_binlog_connector_spark.operators.similarity import ann_topk_bruteforce
+
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.001, 0.0]),   # ≈ vec 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+        ]
+        emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        probes = emb.filter("vec_id = 0")
+        top = ann_topk_bruteforce(emb, probes, k=1).collect()
+        assert top[0].neighbor_id == 1 and top[0].rank == 1
+
+    def test_lsh_bucket_deterministic(self, spark):
+        from myzql_binlog_connector_spark.operators.similarity import lsh_bucket
+
+        df = spark.createDataFrame([(0, [float(i) for i in range(8)])], "vec_id bigint, e array<float>")
+        b1 = df.select(lsh_bucket(F.col("e"), 8, 8).alias("b")).collect()[0].b
+        b2 = df.select(lsh_bucket(F.col("e"), 8, 8).alias("b")).collect()[0].b
+        assert b1 == b2
+        assert 0 <= b1 < 256
+
+
+class TestMultimodal:
+    def test_fake_decode_meta(self, spark):
+        from myzql_binlog_connector_spark.operators.multimodal import decode_media
+
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(b"pretend-png-bytes")), (2, "audio", bytearray(b"pretend-wav"))],
+            "media_id bigint, kind string, payload binary",
+        )
+        got = {r.media_id: r for r in decode_media(media, fake=True).collect()}
+        assert got[1].byte_len == len(b"pretend-png-bytes")
+        assert got[1].format == "png" and got[1].width is not None
+        assert got[2].format == "wav" and got[2].duration_ms is not None and got[2].width is None
+
+    def test_real_decode_is_stubbed(self, spark):
+        from myzql_binlog_connector_spark.operators.multimodal import decode_media
+
+        media = spark.createDataFrame(
+            [(1, "image", bytearray(b"x"))], "media_id bigint, kind string, payload binary"
+        )
+        with pytest.raises(Exception):  # NotImplementedError inside the UDF
+            decode_media(media, fake=False).collect()
+
+    def test_frame_sampling_explodes(self, spark):
+        from myzql_binlog_connector_spark.operators.multimodal import sample_frames
+
+        media = spark.createDataFrame(
+            [(1, "video", bytearray(bytes(range(100))))],
+            "media_id bigint, kind string, payload binary",
+        )
+        frames = sample_frames(media, every_n=10, max_frames=4).collect()
+        assert len(frames) == 4
+        assert b"".join(bytes(f.frame) for f in frames) <= bytes(range(100)) or len(frames[0].frame) > 0
