@@ -79,22 +79,23 @@ def build_spark(cpus: int):
 
 
 def bench_cdc_replay(spark, sf_tag: str, n_buckets: int = 32) -> dict:
-    """North-metric measurement: decode + LWW + merge, end to end."""
-    from myzql_binlog_connector_spark.functions.decode import decode_changes
+    """North-metric measurement: decode + LWW + merge, end to end (typed
+    zero-shuffle fast path via apply_files)."""
     from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
     from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+    import glob
 
     seg_dir, n_ops = ensure_cdc_fixture(sf_tag)
     table_dir = tempfile.mkdtemp(prefix="bench_lake_")
     try:
         t0 = time.monotonic()
-        events = spark.read.parquet(seg_dir)
-        env = decode_changes(events)
+        paths = sorted(glob.glob(os.path.join(seg_dir, "*.parquet")))
         table = BucketedLakeTable(
             spark, table_dir, ["conv_id", "turn_idx"], n_buckets=n_buckets
         )
         applier = TranscriptsApplier(spark, table, salt=None)
-        rec = applier.apply_batch(env, batch_id=0, raw_events=events)
+        rec = applier.apply_files(paths, batch_id=0)
         n_final = table.read().count()
         wall = time.monotonic() - t0
         return {

@@ -21,6 +21,16 @@ import json
 import struct
 from dataclasses import dataclass
 
+try:  # optional fast path; stdlib json is the portable fallback
+    import orjson as _fastjson
+
+    def _dumps(obj) -> str:
+        return _fastjson.dumps(obj).decode("utf-8")
+
+except ImportError:  # pragma: no cover
+    def _dumps(obj) -> str:
+        return json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
+
 from .constants import (
     BLOB_TYPES,
     CRC_LEN,
@@ -80,15 +90,23 @@ def _civil_from_days(z: int) -> tuple[int, int, int]:
     return y + (1 if m <= 2 else 0), m, d
 
 
+_ts_cache: dict[int, str] = {}
+
+
 def _fmt_ts_us(unix_us: int) -> str:
     if unix_us == 0:
         return None  # zero-timestamp → null (reference zero-date analogue)
     secs, us = divmod(unix_us, 1_000_000)
-    days, rem = divmod(secs, 86400)
-    h, rem = divmod(rem, 3600)
-    mi, s = divmod(rem, 60)
-    y, mo, d = _civil_from_days(days)
-    base = f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+    base = _ts_cache.get(secs)
+    if base is None:
+        days, rem = divmod(secs, 86400)
+        h, rem = divmod(rem, 3600)
+        mi, s = divmod(rem, 60)
+        y, mo, d = _civil_from_days(days)
+        base = f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+        if len(_ts_cache) > 65536:  # bound memory in long-running workers
+            _ts_cache.clear()
+        _ts_cache[secs] = base
     return f"{base}.{us:06d}" if us else base
 
 
@@ -442,7 +460,7 @@ def row_values_to_json(values: list | None) -> str | None:
         if isinstance(v, (bytes, bytearray, memoryview)):
             v = "0x" + bytes(v).hex()
         obj[f"c{i}"] = v
-    return json.dumps(obj, ensure_ascii=False, separators=(",", ":"))
+    return _dumps(obj)
 
 
 class BinlogSession:
@@ -465,14 +483,17 @@ class BinlogSession:
         self.events_seen = 0
         self.rows_emitted = 0
 
-    def process_packet(
+    def process_packet_rows(
         self,
         blob: bytes | memoryview,
         file_seq: int,
-        gtid: int = 0,
-        event_seq: int = 0,
     ):
-        """Decode one framed packet; yields envelope dicts for row changes."""
+        """Decode one framed packet; yields raw row changes as
+        ``(header, event_row_index, table_id, RowChange)`` tuples.
+
+        This is the allocation-light core shared by the JSON-envelope path
+        (:meth:`process_packet`) and the typed fast path
+        (functions/decode.decode_typed*)."""
         if self.stopped:
             return
         mv = memoryview(blob)
@@ -520,8 +541,20 @@ class BinlogSession:
         if schema is None:
             return  # uncached ⇒ skip entirely
         changes = parse_rows_event(et, payload, schema, self._decoders[table_id])
+        self.rows_emitted += len(changes)
         for idx, ch in enumerate(changes, start=1):  # 1-based (main.zig:239)
-            self.rows_emitted += 1
+            yield hdr, idx, table_id, ch
+
+    def process_packet(
+        self,
+        blob: bytes | memoryview,
+        file_seq: int,
+        gtid: int = 0,
+        event_seq: int = 0,
+    ):
+        """Decode one framed packet; yields envelope dicts for row changes."""
+        for hdr, idx, table_id, ch in self.process_packet_rows(blob, file_seq):
+            schema = self.table_maps[table_id]
             yield {
                 "timestamp": hdr.timestamp,
                 "server_id": hdr.server_id,

@@ -110,6 +110,232 @@ def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 81
     return decode_partition
 
 
+# ---------------------------------------------------------------------------
+# typed fast path: decode straight into typed Arrow columns (no JSON
+# envelope, no from_json) — the apply pipeline's hot path
+# ---------------------------------------------------------------------------
+
+_META_ARROW = [
+    ("_deleted", pa.bool_()),
+    ("_gtid", pa.int64()),
+    ("_event_seq", pa.int64()),
+    ("_event_row_index", pa.int64()),
+    ("_file_seq", pa.int32()),
+    ("_log_pos", pa.int64()),
+]
+
+_INT_CODES = frozenset({1, 2, 3, 8, 9, 13, 16, 247, 248})  # ints/year/bit/enum/set
+_FLOAT_CODES = frozenset({4, 5})
+
+
+def _payload_kinds(descs: list[str]) -> list[str]:
+    """Widest per-position Arrow kind over all schema descriptors seen:
+    'i' int64 / 'f' float64 / 's' string."""
+    import json as _json
+
+    kinds: list[str] = []
+    for desc in descs:
+        for i, (code, meta, _n) in enumerate(_json.loads(desc)):
+            if code == 254:  # STRING: ENUM/SET are ints, CHAR is string
+                kind = "i" if (meta >> 8) in (247, 248) else "s"
+            elif code in _INT_CODES:
+                kind = "i"
+            elif code in _FLOAT_CODES:
+                kind = "f"
+            else:
+                kind = "s"
+            if i >= len(kinds):
+                kinds.append(kind)
+            elif kinds[i] != kind:
+                if {kinds[i], kind} == {"i", "f"}:
+                    kinds[i] = "f"
+                else:
+                    kinds[i] = "s"
+    return kinds
+
+
+def make_typed_decoder(
+    column_names: list[str],
+    kinds: list[str],
+    key_positions: tuple[int, ...],
+    table_filter=None,
+    stop_position=None,
+    out_batch_rows: int = 8192,
+):
+    """Arrow UDF body: raw packets → typed change rows.
+
+    Output columns: payload (one per ``column_names``, Arrow type per
+    ``kinds``) + the merge meta columns.  DELETE rows carry only the key
+    positions (from the before image) — matching the envelope-path
+    semantics of ``TranscriptsApplier.typed_changes``."""
+    arrow_schema = pa.schema(
+        [
+            (name, {"i": pa.int64(), "f": pa.float64(), "s": pa.string()}[k])
+            for name, k in zip(column_names, kinds)
+        ]
+        + _META_ARROW
+    )
+    n_payload = len(column_names)
+    keyset = set(key_positions)
+
+    def to_batch(cols: list[list]) -> pa.RecordBatch:
+        return pa.RecordBatch.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)],
+            schema=arrow_schema,
+        )
+
+    def new_cols():
+        return [[] for _ in range(n_payload + len(_META_ARROW))]
+
+    def decode_stream(packet_iter):
+        """packet_iter yields (blob, file_seq, gtid, event_seq)."""
+        from ..binlog.decoder import BinlogSession
+
+        session = BinlogSession(table_filter=table_filter, stop_position=stop_position)
+        cols = new_cols()
+        n = 0
+        str_cols = [i for i, k in enumerate(kinds) if k == "s"]
+        for blob, file_seq, gtid, event_seq in packet_iter:
+            for hdr, idx, _tid, ch in session.process_packet_rows(blob, file_seq):
+                after = ch.after
+                before = ch.before
+                deleted = after is None
+                src = before if deleted else after
+                m = len(src)
+                for i in range(n_payload):
+                    v = src[i] if i < m else None
+                    if deleted and i not in keyset:
+                        v = None
+                    elif v is not None and i in str_cols and not isinstance(v, str):
+                        v = (
+                            "0x" + bytes(v).hex()
+                            if isinstance(v, (bytes, bytearray, memoryview))
+                            else str(v)
+                        )
+                    cols[i].append(v)
+                base = n_payload
+                cols[base].append(deleted)
+                cols[base + 1].append(gtid)
+                cols[base + 2].append(event_seq)
+                cols[base + 3].append(idx)
+                cols[base + 4].append(file_seq)
+                cols[base + 5].append(hdr.log_pos)
+                n += 1
+                if n >= out_batch_rows:
+                    yield to_batch(cols)
+                    cols = new_cols()
+                    n = 0
+        if n:
+            yield to_batch(cols)
+
+    return decode_stream, arrow_schema
+
+
+def decode_typed_from_files(
+    spark,
+    paths: list[str],
+    column_names: list[str],
+    kinds: list[str],
+    key_positions: tuple[int, ...] = (0, 1),
+    table_filter=None,
+    stop_position=None,
+) -> DataFrame:
+    """Zero-shuffle typed decode: task-per-segment-file, pyarrow read inside
+    the task, typed Arrow columns out.  The bounded-replay fast path."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+    )
+
+    decode_stream, arrow_schema = make_typed_decoder(
+        column_names, kinds, key_positions, table_filter, stop_position
+    )
+    fields = [
+        StructField(name, {"i": LongType(), "f": DoubleType(), "s": StringType()}[k], True)
+        for name, k in zip(column_names, kinds)
+    ] + [
+        StructField("_deleted", BooleanType(), False),
+        StructField("_gtid", LongType(), False),
+        StructField("_event_seq", LongType(), False),
+        StructField("_event_row_index", LongType(), False),
+        StructField("_file_seq", IntegerType(), False),
+        StructField("_log_pos", LongType(), False),
+    ]
+    spark_schema = StructType(fields)
+
+    paths_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
+        len(paths)
+    )
+
+    def decode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            for path in batch.column("path").to_pylist():
+                tbl = pq.read_table(path)
+                packet_iter = zip(
+                    tbl.column("event_blob").to_pylist(),
+                    tbl.column("file_seq").to_pylist(),
+                    tbl.column("gtid").to_pylist(),
+                    tbl.column("event_seq").to_pylist(),
+                )
+                yield from decode_stream(packet_iter)
+
+    return paths_df.mapInArrow(decode_files, schema=spark_schema)
+
+
+def decode_segment_files(
+    spark,
+    paths: list[str],
+    table_filter=None,
+    stop_position: tuple[int, int] | None = None,
+    out_batch_rows: int = 8192,
+) -> DataFrame:
+    """Zero-shuffle decode: one task per segment file, read with pyarrow
+    inside the task, decode inline.
+
+    ``decode_changes`` must shuffle raw blobs to co-locate segments; when
+    the store is laid out one-file-per-segment (our generator, and the
+    natural layout of a binlog archive), the file itself is the decode unit
+    — parallelizing the *path list* gives task-per-segment with no data
+    movement at all.  This is the high-throughput bounded-replay path; the
+    streaming path keeps ``decode_changes`` because foreachBatch hands it
+    blob rows."""
+    import pyarrow.parquet as pq
+
+    n = len(paths)
+    paths_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(n)
+
+    def decode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..binlog.decoder import BinlogSession
+
+        for batch in batches:
+            for path in batch.column("path").to_pylist():
+                session = BinlogSession(
+                    table_filter=table_filter, stop_position=stop_position
+                )
+                tbl = pq.read_table(path)
+                file_seqs = tbl.column("file_seq").to_pylist()
+                gtids = tbl.column("gtid").to_pylist()
+                event_seqs = tbl.column("event_seq").to_pylist()
+                blobs = tbl.column("event_blob").to_pylist()
+                pending: list[dict] = []
+                for i in range(tbl.num_rows):
+                    pending.extend(
+                        session.process_packet(
+                            blobs[i], file_seq=file_seqs[i],
+                            gtid=gtids[i], event_seq=event_seqs[i],
+                        )
+                    )
+                    if len(pending) >= out_batch_rows:
+                        yield _rows_to_batch(pending[:out_batch_rows])
+                        pending = pending[out_batch_rows:]
+                if pending:
+                    yield _rows_to_batch(pending)
+
+    return paths_df.mapInArrow(decode_files, schema=ENVELOPE_SCHEMA)
+
+
 SCHEMA_SCAN_SCHEMA = StructType(
     [
         StructField("database", StringType(), True),

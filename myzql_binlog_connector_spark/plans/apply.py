@@ -163,6 +163,85 @@ class TranscriptsApplier:
             F.col("log_pos").alias("_log_pos"),
         )
 
+    def apply_files(
+        self,
+        paths: list[str],
+        batch_id: int | None = None,
+        table_filter=None,
+        stop_position: tuple[int, int] | None = None,
+    ) -> dict:
+        """Bounded-replay fast path: zero-shuffle typed decode straight from
+        segment files (no JSON envelope, no from_json), then the same
+        watermark-gated exactly-once merge as :meth:`apply_batch`."""
+        from ..functions.decode import (
+            _payload_kinds,
+            decode_typed_from_files,
+            scan_schemas,
+        )
+
+        raw = self.spark.read.parquet(*paths)
+        descs = [r["payload_schema"] for r in scan_schemas(raw).collect()]
+        if not descs:
+            return {"batch_id": batch_id, "skipped": True, "input_rows": 0}
+        struct = payload_struct_from_descs(descs)
+        names = [self._name_for(i) for i in range(len(struct.fields))]
+        kinds = _payload_kinds(descs)
+        typed = decode_typed_from_files(
+            self.spark,
+            paths,
+            names,
+            kinds,
+            key_positions=self.key_positions,
+            table_filter=table_filter,
+            stop_position=stop_position,
+        )
+        # cast payload columns to their exact Spark types (string→timestamp,
+        # int64→int, string→decimal, …) — one JVM cast per column
+        for name, field in zip(names, struct.fields):
+            typed = typed.withColumn(name, F.col(name).cast(field.dataType))
+        return self._merge_typed(typed, batch_id)
+
+    def _merge_typed(self, typed: DataFrame, batch_id: int | None) -> dict:
+        fresh = self._watermark_filter(typed)
+        if self.salt:
+            # optional salted pre-reduce (window path); the merge's max_by
+            # aggregate already pre-reduces map-side, so this is off by
+            # default and exists to compose the T8 operator explicitly
+            from ..operators.dedup import lww_dedup_salted
+
+            fresh = lww_dedup_salted(
+                fresh,
+                self.table.key_cols,
+                ["_gtid", "_event_seq", "_event_row_index"],
+                salt=self.salt,
+            )
+        fresh = fresh.persist()
+        try:
+            wm_rows = (
+                fresh.groupBy("_file_seq")
+                .agg(
+                    F.max(F.struct("_log_pos", "_event_row_index")).alias("mx"),
+                    F.max("_gtid").alias("max_gtid"),
+                )
+                .collect()
+            )
+            if not wm_rows:
+                return {"batch_id": batch_id, "skipped": True, "input_rows": 0}
+            new_wms = {
+                str(r["_file_seq"]): {
+                    "log_pos": r["mx"]["_log_pos"],
+                    "event_row_index": r["mx"]["_event_row_index"],
+                    "gtid": r["max_gtid"],
+                }
+                for r in wm_rows
+            }
+            changes = fresh.drop("_file_seq", "_log_pos")
+            return self.table.merge(
+                changes, batch_id=batch_id, extra_lineage={"watermarks": new_wms}
+            )
+        finally:
+            fresh.unpersist()
+
     def _watermark_filter(self, changes: DataFrame) -> DataFrame:
         """Drop rows at-or-below the stored per-file_seq watermark
         (redelivered work) — broadcast join against the tiny watermark map."""
@@ -211,48 +290,9 @@ class TranscriptsApplier:
             descs = [r["payload_schema"] for r in scan_schemas(raw_events).collect()]
         else:
             envelope = envelope.persist()
-        typed = self.typed_changes(envelope, descs=descs)
-        fresh = self._watermark_filter(typed).persist()
         try:
-            # per-file_seq high watermarks of this batch, committed with it
-            wm_rows = (
-                fresh.groupBy("_file_seq")
-                .agg(
-                    F.max(F.struct("_log_pos", "_event_row_index")).alias("mx"),
-                    F.max("_gtid").alias("max_gtid"),
-                )
-                .collect()
-            )
-            if not wm_rows:
-                return {"batch_id": batch_id, "skipped": True, "input_rows": 0}
-            new_wms = {
-                str(r["_file_seq"]): {
-                    "log_pos": r["mx"]["_log_pos"],
-                    "event_row_index": r["mx"]["_event_row_index"],
-                    "gtid": r["max_gtid"],
-                }
-                for r in wm_rows
-            }
-            changes = fresh.drop("_file_seq", "_log_pos")
-            if self.salt:
-                # optional salted pre-reduce (window path); the merge's
-                # max_by aggregate already pre-reduces map-side, so this is
-                # off by default and exists to exercise/compose the T8
-                # operator in window-based flows
-                from ..operators.dedup import lww_dedup_salted
-
-                changes = lww_dedup_salted(
-                    changes,
-                    self.table.key_cols,
-                    ["_gtid", "_event_seq", "_event_row_index"],
-                    salt=self.salt,
-                )
-            return self.table.merge(
-                changes,
-                batch_id=batch_id,
-                extra_lineage={"watermarks": new_wms},
-            )
+            typed = self.typed_changes(envelope, descs=descs)
+            return self._merge_typed(typed, batch_id)
         finally:
-            fresh.unpersist()
             if raw_events is None:
                 envelope.unpersist()

@@ -43,9 +43,14 @@ spark.stop()
 def run_level(cpus: int) -> dict:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_CDC_OPS", "1600000")
+    # taskset pins the WHOLE process tree (JVM + python workers + pyarrow
+    # thread pools) to exactly `cpus` CPUs — local[N] alone does not bound
+    # CPU use because arrow/JVM helper threads spill onto every core, which
+    # silently turns the "N-core" level into a whole-box run
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
+           CHILD % {"repo": REPO}, str(cpus)]
     proc = subprocess.run(
-        [sys.executable, "-c", CHILD % {"repo": REPO}, str(cpus)],
-        capture_output=True, text=True, timeout=3600, cwd=REPO, env=env,
+        cmd, capture_output=True, text=True, timeout=3600, cwd=REPO, env=env,
     )
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT:"):

@@ -96,6 +96,69 @@ class TestApplyState:
         assert _state_dict(table.read()) == _truth_dict(stream)
 
 
+class TestTypedFastPath:
+    """apply_files (zero-shuffle typed decode) must be semantically
+    identical to the envelope path."""
+
+    def test_apply_files_matches_oracle_and_evolves(self, spark, tmp_path):
+        import glob
+
+        stream = generate_stream(seed=77, n_convs=50, n_segments=4, evolve_at=0.6)
+        write_segments_parquet(stream, str(tmp_path / "seg"))
+        paths = sorted(glob.glob(str(tmp_path / "seg" / "*.parquet")))
+        table = BucketedLakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=8)
+        applier = TranscriptsApplier(spark, table)
+        applier.apply_files(paths, batch_id=0)
+        assert _state_dict(table.read()) == _truth_dict(stream)
+        state = table.read()
+        assert "score" in state.columns  # evolution through the typed path
+        assert dict(state.dtypes)["ts"] == "timestamp"
+        assert dict(state.dtypes)["turn_idx"] == "int"
+        # idempotence
+        rec = applier.apply_files(paths, batch_id=1)
+        assert rec.get("skipped") is True
+
+    def test_apply_files_equals_apply_batch(self, spark, stream_and_events):
+        import glob
+
+        stream, events, tmp = stream_and_events
+        t_env = BucketedLakeTable(spark, str(tmp / "cmp_env"), ["conv_id", "turn_idx"], n_buckets=8)
+        TranscriptsApplier(spark, t_env).apply_batch(
+            decode_changes(events), batch_id=0, raw_events=events
+        )
+        paths = sorted(glob.glob(str(tmp / "seg" / "*.parquet")))
+        t_fast = BucketedLakeTable(spark, str(tmp / "cmp_fast"), ["conv_id", "turn_idx"], n_buckets=8)
+        TranscriptsApplier(spark, t_fast).apply_files(paths, batch_id=0)
+        a = {(r.conv_id, r.turn_idx): (r.role, r.text, r.tool) for r in t_env.read().collect()}
+        b = {(r.conv_id, r.turn_idx): (r.role, r.text, r.tool) for r in t_fast.read().collect()}
+        assert a == b
+
+    def test_apply_files_bounded_and_filtered(self, spark, stream_and_events):
+        import glob
+
+        stream, events, tmp = stream_and_events
+        paths = sorted(glob.glob(str(tmp / "seg" / "*.parquet")))
+        from myzql_binlog_connector_spark.functions.decode import decode_typed_from_files
+
+        # stop at (2, 0): only file 1 rows survive
+        typed = decode_typed_from_files(
+            spark, paths,
+            ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            ["s", "i", "s", "s", "s", "s"],
+            stop_position=(2, 0),
+        )
+        assert typed.filter("_file_seq >= 2").count() == 0
+        assert typed.count() > 0
+        # exclude filter drops everything
+        typed2 = decode_typed_from_files(
+            spark, paths,
+            ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            ["s", "i", "s", "s", "s", "s"],
+            table_filter=TableFilter(exclude=["chat.transcripts"]),
+        )
+        assert typed2.count() == 0
+
+
 class TestBoundedReplay:
     def test_stop_position_excludes_at_and_after(self, spark, stream_and_events):
         stream, events, tmp = stream_and_events
