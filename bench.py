@@ -31,7 +31,7 @@ SEED = 42
 def cdc_cache_dir(sf_tag: str) -> str:
     return os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_bench_cache/{sf_tag}-seed{SEED}-ops{CDC_OPS_TARGET}",
+        f"spark_graft_bench_cache/{sf_tag}-seed{SEED}-ops{CDC_OPS_TARGET}-v2",
     )
 
 
@@ -74,6 +74,8 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
         .getOrCreate()
     )
 

@@ -272,7 +272,9 @@ def decode_typed_from_files(
     def decode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             for path in batch.column("path").to_pylist():
-                tbl = pq.read_table(path)
+                tbl = pq.read_table(
+                    path, columns=["file_seq", "offset", "gtid", "event_seq", "event_blob"]
+                )
                 packet_iter = zip(
                     tbl.column("event_blob").to_pylist(),
                     tbl.column("file_seq").to_pylist(),
@@ -314,7 +316,9 @@ def decode_segment_files(
                 session = BinlogSession(
                     table_filter=table_filter, stop_position=stop_position
                 )
-                tbl = pq.read_table(path)
+                tbl = pq.read_table(
+                    path, columns=["file_seq", "offset", "gtid", "event_seq", "event_blob"]
+                )
                 file_seqs = tbl.column("file_seq").to_pylist()
                 gtids = tbl.column("gtid").to_pylist()
                 event_seqs = tbl.column("event_seq").to_pylist()
@@ -353,12 +357,23 @@ def scan_schemas(events_df: DataFrame) -> DataFrame:
     """Light pre-pass: parse only the 19-byte headers and TABLE_MAP events,
     emitting (database, table_name, payload_schema) rows.  Row decode is
     skipped entirely, so this costs ~1% of a full decode — it feeds the
-    typed-extraction schema without persisting the decoded envelope."""
+    typed-extraction schema without persisting the decoded envelope.
+
+    When the source carries the ``event_type`` column (segment stores
+    written by this engine do), the TABLE_MAP predicate is pushed into the
+    parquet scan so only TABLE_MAP blobs ever reach Python."""
     import json as _json
+
+    from pyspark.sql import functions as F
 
     from ..binlog.constants import CRC_LEN, HEADER_LEN, EventType
     from ..binlog.decoder import parse_table_map
     from ..binlog.wire import parse_header
+
+    if "event_type" in events_df.columns:
+        events_df = events_df.filter(
+            F.col("event_type") == int(EventType.TABLE_MAP)
+        ).select("event_blob")
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         seen: set[str] = set()

@@ -250,10 +250,39 @@ def write_segments_parquet(stream: GeneratedStream, out_dir: str) -> list[str]:
                 "offset": pa.array([r[0] for r in rows], pa.int64()),
                 "gtid": pa.array([r[1] for r in rows], pa.int64()),
                 "event_seq": pa.array([r[2] for r in rows], pa.int64()),
+                # event type from the header (byte 5 of the framed packet:
+                # OK byte + 4B timestamp); a plain column lets readers push
+                # event-type predicates into the parquet scan (P3 pushdown)
+                "event_type": pa.array([r[3][5] for r in rows], pa.int8()),
                 "event_blob": pa.array([r[3] for r in rows], pa.binary()),
             }
         )
         path = os.path.join(out_dir, f"segment-{file_seq:06d}.parquet")
         pq.write_table(tbl, path)
         paths.append(path)
+
+    # sidecar: the distinct TABLE_MAP schema descriptors present in the
+    # store, written by the archiver that saw them stream past — readers
+    # (apply_files) use it to build the typed-extraction schema without a
+    # scan over the blobs; they fall back to scan_schemas when absent
+    import json
+
+    from .binlog.constants import CRC_LEN, HEADER_LEN, EventType
+    from .binlog.decoder import parse_table_map
+    from .binlog.wire import parse_header
+
+    descs = set()
+    for _fs, rows in stream.segments:
+        for _off, _g, _es, pkt in rows:
+            body = memoryview(pkt)[1 : len(pkt) - CRC_LEN]
+            if parse_header(body).event_type == EventType.TABLE_MAP:
+                _tid, schema = parse_table_map(body[HEADER_LEN:])
+                descs.add(
+                    json.dumps(
+                        [[c.type_code, c.meta, int(c.nullable)] for c in schema.columns],
+                        separators=(",", ":"),
+                    )
+                )
+    with open(os.path.join(out_dir, "_schemas.json"), "w") as f:
+        json.dump(sorted(descs), f)
     return paths

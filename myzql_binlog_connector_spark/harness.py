@@ -62,7 +62,7 @@ def _events_df_from_writer(
     for file_seq, w in enumerate(writers, start=1):
         for event_seq, (offset, pkt) in enumerate(w.events):
             gtid += 1
-            rows.append((file_seq, offset, gtid, gtid, bytearray(pkt)))
+            rows.append((file_seq, offset, gtid, gtid, pkt[5], bytearray(pkt)))
     return spark.createDataFrame(rows, EVENTS_SCHEMA)
 
 

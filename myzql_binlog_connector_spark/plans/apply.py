@@ -173,14 +173,22 @@ class TranscriptsApplier:
         """Bounded-replay fast path: zero-shuffle typed decode straight from
         segment files (no JSON envelope, no from_json), then the same
         watermark-gated exactly-once merge as :meth:`apply_batch`."""
+        import json
+        import os
+
         from ..functions.decode import (
             _payload_kinds,
             decode_typed_from_files,
             scan_schemas,
         )
 
-        raw = self.spark.read.parquet(*paths)
-        descs = [r["payload_schema"] for r in scan_schemas(raw).collect()]
+        sidecar = os.path.join(os.path.dirname(paths[0]), "_schemas.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                descs = json.load(f)
+        else:
+            raw = self.spark.read.parquet(*paths)
+            descs = [r["payload_schema"] for r in scan_schemas(raw).collect()]
         if not descs:
             return {"batch_id": batch_id, "skipped": True, "input_rows": 0}
         struct = payload_struct_from_descs(descs)
@@ -237,7 +245,10 @@ class TranscriptsApplier:
             }
             changes = fresh.drop("_file_seq", "_log_pos")
             return self.table.merge(
-                changes, batch_id=batch_id, extra_lineage={"watermarks": new_wms}
+                changes,
+                batch_id=batch_id,
+                extra_lineage={"watermarks": new_wms},
+                input_cached=True,  # `fresh` is persisted above
             )
         finally:
             fresh.unpersist()

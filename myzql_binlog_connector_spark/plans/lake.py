@@ -149,6 +149,7 @@ class BucketedLakeTable:
         order_cols: list[str] = ("_gtid", "_event_seq", "_event_row_index"),
         batch_id: int | None = None,
         extra_lineage: dict | None = None,
+        input_cached: bool = False,
     ) -> dict:
         """Apply a change batch: upserts + tombstones, LWW per key.
 
@@ -203,14 +204,12 @@ class BucketedLakeTable:
         # (watermark gating happens in the applier, pre-merge: T5/T6)
         wms = (m or {}).get("watermarks", {})
         bucket_expr = F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets))
-        changes = changes.persist()
-        n_changes = changes.count()
-
-        # --- dirty buckets ---------------------------------------------------
-        dirty = sorted(
-            r["b"]
-            for r in changes.select(bucket_expr.alias("b")).distinct().collect()
-        )
+        if not input_cached:  # callers with an already-persisted frame skip
+            changes = changes.persist()
+        # one action yields both the dirty-bucket set and the input count
+        bucket_counts = changes.groupBy(bucket_expr.alias("b")).count().collect()
+        n_changes = int(sum(r["count"] for r in bucket_counts))
+        dirty = sorted(r["b"] for r in bucket_counts)
         old_files = (m or {}).get("files", {})
         existing_files = [p for b in dirty for p in old_files.get(str(b), [])]
         existing = self._read_files(existing_files, schema_json) if m else None
@@ -241,7 +240,8 @@ class BucketedLakeTable:
             .partitionBy("_bucket")
             .parquet(out_dir)
         )
-        changes.unpersist()
+        if not input_cached:
+            changes.unpersist()
 
         new_files = dict(old_files)
         written = []

