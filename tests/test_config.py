@@ -1,0 +1,85 @@
+"""ReplayConfig validation + the config-driven replay entry point."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from myzql_binlog_connector_spark.config import ConfigError, ReplayConfig, run_replay
+
+
+class TestValidation:
+    def test_defaults_ok(self):
+        ReplayConfig(segments_path="/x", table_path="/t")
+
+    def test_bad_output_mode(self):
+        with pytest.raises(ConfigError):
+            ReplayConfig(segments_path="/x", table_path="/t", output_mode="yaml")
+
+    def test_range_ordering(self):
+        with pytest.raises(ConfigError):
+            ReplayConfig(
+                segments_path="/x", table_path="/t",
+                from_position=(2, 100), to_position=(2, 100),
+            )
+
+    def test_apply_needs_table_path(self):
+        with pytest.raises(ConfigError):
+            ReplayConfig(segments_path="/x", output_mode="apply")
+
+    def test_invalid_filter_pattern_rejected(self):
+        with pytest.raises(Exception):
+            ReplayConfig(segments_path="/x", table_path="/t", include_tables=["*.*"])
+
+    def test_from_json_with_binlog_file_names(self):
+        cfg = ReplayConfig.from_json(json.dumps({
+            "segments_path": "/x", "table_path": "/t",
+            "from_binlog_file": "binlog.000002", "from_binlog_position": 4,
+            "to_binlog_file": "binlog.000005", "to_binlog_position": 1000,
+            "exclude_tables": ["scratch.*"],
+        }))
+        assert cfg.from_position == (2, 4)
+        assert cfg.to_position == (5, 1000)
+        assert not cfg.table_filter().matches("scratch", "t")
+
+    def test_unknown_keys_rejected(self):
+        with pytest.raises(ConfigError):
+            ReplayConfig.from_json(json.dumps({"segments_path": "/x", "table_path": "/t", "bogus": 1}))
+
+
+class TestRunReplay:
+    def test_config_driven_apply(self, spark, tmp_path):
+        from myzql_binlog_connector_spark.genlog import (
+            generate_stream,
+            write_segments_parquet,
+        )
+
+        stream = generate_stream(seed=31, n_convs=20, n_segments=2)
+        write_segments_parquet(stream, str(tmp_path / "seg"))
+        cfg = ReplayConfig(
+            segments_path=str(tmp_path / "seg"),
+            table_path=str(tmp_path / "t"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            n_buckets=4,
+        )
+        records, state = run_replay(spark, cfg)
+        assert len(records) == 2  # one micro-batch per segment
+        got = {(r.conv_id, r.turn_idx): r.text for r in state.collect()}
+        want = {k: v[3] for k, v in stream.truth.items()}
+        assert got == want
+
+    def test_config_driven_envelope(self, spark, tmp_path):
+        from myzql_binlog_connector_spark.genlog import (
+            generate_stream,
+            write_segments_parquet,
+        )
+
+        stream = generate_stream(seed=31, n_convs=10, n_segments=2)
+        write_segments_parquet(stream, str(tmp_path / "seg"))
+        cfg = ReplayConfig(
+            segments_path=str(tmp_path / "seg"), output_mode="envelope",
+        )
+        _, env = run_replay(spark, cfg)
+        assert env.count() > 0
+        assert "after_values" in env.columns
