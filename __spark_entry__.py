@@ -315,6 +315,20 @@ def q_doc_fingerprints(spark, sf_dir):
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_winnowing_fingerprints(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return T.winnowing_fingerprints(docs, k=5, window=4)
+
+
+def q_json_extract_props(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    val = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
+    return ev.select(
+        "event_id",
+        F.when(val == "", None).otherwise(val).cast("bigint").alias("k_value"),
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     from myzql_binlog_connector_spark.operators.multimodal import decode_media
 
@@ -362,6 +376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "token_counts": q_token_counts,
         "doc_fingerprints": q_doc_fingerprints,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
+        "json_extract_props": q_json_extract_props,
         "multimodal_meta": q_multimodal_meta,
     }
 
@@ -550,6 +566,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_fingerprints": f"SELECT doc_id, {T.fingerprint_sql('text')} AS fp FROM documents",
+        "winnowing_fingerprints": T.winnowing_sql("documents", "text", "doc_id", 5, 4),
+        "json_extract_props": r"""
+            SELECT event_id,
+                   TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS k_value
+            FROM events
+        """,
         "multimodal_meta": f"""
             SELECT doc_id AS media_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -198,6 +198,73 @@ def quality_score_sql(expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def winnowing_fingerprints(df, text_col: str = "text", id_col: str = "doc_id",
+                           k: int = 5, window: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    rolling k-gram hashes, then the minimum hash of every ``window``
+    consecutive positions — the classic local-fingerprint scheme for
+    near-dup/plagiarism detection.  Returns distinct (id, fp) rows.
+
+    Pure window-function column algebra; the DuckDB mirror is
+    :func:`winnowing_sql`."""
+    from pyspark.sql import Window as W
+
+    rows = shingle_rows_with_pos(df, text_col, id_col, k)
+    h = h60(F.col("sh"))
+    hashed = rows.select(id_col, F.col("pos"), h.alias("h"))
+    w = (
+        W.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), W.currentRow)
+    )
+    return (
+        hashed.withColumn("fp", F.min("h").over(w))
+        .filter(F.col("pos") >= window)  # full windows only
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def shingle_rows_with_pos(df, text_col: str, id_col: str, k: int = 5):
+    """(id, pos, sh) — like shingle_rows but position-carrying (for
+    rolling/winnowing schemes that need order)."""
+    norm = normalize_text(F.col(text_col))
+    ex = df.select(F.col(id_col), norm.alias("__n__")).select(
+        id_col,
+        "__n__",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.length("__n__") - (k - 1)))
+        ).alias("pos"),
+    )
+    return ex.select(id_col, "pos", F.expr(f"substring(__n__, pos, {k})").alias("sh"))
+
+
+def winnowing_sql(table: str = "documents", text_expr: str = "text",
+                  id_col: str = "doc_id", k: int = 5, window: int = 4,
+                  max_len: int = 100_000) -> str:
+    norm = normalize_sql(text_expr)
+    h = h60_sql("sh")
+    return f"""
+    WITH normed AS (
+      SELECT {id_col}, {norm} AS n FROM {table}
+    ), nums AS (
+      SELECT unnest(range(1, {max_len + 1})) AS i
+    ), grams AS (
+      SELECT {id_col}, CAST(i AS INT) AS pos,
+             CASE WHEN length(n) <= {k} THEN n
+                  ELSE substring(n, CAST(i AS INT), {k}) END AS sh
+      FROM normed JOIN nums ON i <= greatest(1, length(n) - {k} + 1)
+    ), hashed AS (
+      SELECT {id_col}, pos, {h} AS h FROM grams
+    )
+    SELECT DISTINCT {id_col},
+           min(h) OVER (PARTITION BY {id_col} ORDER BY pos
+                        ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW) AS fp
+    FROM hashed
+    QUALIFY pos >= {window}
+    """
+
+
 def fingerprint(col: Column) -> Column:
     """Canonical document fingerprint: md5 of the normalized text.
     SQL mirror: md5(<normalize_sql>)"""

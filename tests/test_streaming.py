@@ -19,6 +19,12 @@ def _truth_dict(stream):
     return {k: v[3] for k, v in stream.truth.items()}
 
 
+def _truth_dict_ops(ops):
+    from myzql_binlog_connector_spark.genlog import replay_truth
+
+    return replay_truth(ops)
+
+
 @pytest.fixture(scope="module")
 def gen(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("stream")
@@ -45,6 +51,56 @@ class TestStreamingReplay:
         # lineage rows persisted in the table manifest
         assert len(table.lineage()) >= 1
         assert all("wall_ms" in r for r in table.lineage() if "compaction" not in r)
+
+    def test_unbounded_tail_picks_up_new_segments(self, spark, tmp_path):
+        """T1: with a processing-time trigger the stream tails the store —
+        segments arriving after start are applied without restart."""
+        import time
+
+        from myzql_binlog_connector_spark.genlog import (
+            encode_stream,
+            generate_ops,
+        )
+
+        ops = generate_ops(seed=201, n_convs=20)
+        half = len(ops) // 2
+        s1 = encode_stream(ops[:half], n_segments=2, seed=201)
+        s2 = encode_stream(ops[half:], n_segments=2, seed=202)
+        # renumber second batch's segments so file names don't collide
+        s2.segments = [(fs + 2, rows) for fs, rows in s2.segments]
+        # gtids must keep increasing across the two batches
+        max_gtid = max(g for _, rows in s1.segments for (_, g, _, _) in rows)
+        s2.segments = [
+            (fs, [(off, g + max_gtid, es + max_gtid, pkt) for off, g, es, pkt in rows])
+            for fs, rows in s2.segments
+        ]
+        seg_dir = str(tmp_path / "seg")
+        write_segments_parquet(s1, seg_dir)
+
+        table = BucketedLakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4)
+        replay = BinlogReplayStream(
+            spark, seg_dir, TranscriptsApplier(spark, table), str(tmp_path / "ckpt"),
+            max_files_per_trigger=2,
+        )
+        q = replay.start(available_now=False)  # tail forever
+        try:
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline and len(replay.batch_records) < 1:
+                time.sleep(0.5)
+            assert replay.batch_records, "first batch never arrived"
+            # drop the second half in while the stream is live
+            write_segments_parquet(s2, seg_dir)
+            want_total = len({k for k in _truth_dict_ops(ops)})
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                if table.exists() and len(replay.batch_records) >= 2:
+                    got = table.read().count()
+                    if got == want_total:
+                        break
+                time.sleep(0.5)
+            assert table.read().count() == want_total
+        finally:
+            q.stop()
 
     def test_restart_from_checkpoint_is_exactly_once(self, spark, gen):
         """Drain two micro-batches, 'crash', restart with the same
