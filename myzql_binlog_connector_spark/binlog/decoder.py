@@ -476,6 +476,7 @@ class BinlogSession:
         self.table_maps: dict[int, TableSchema] = {}
         self._schema_desc: dict[int, str] = {}  # table_id -> compact JSON desc
         self._decoders: dict[int, list] = {}  # table_id -> compiled column decoders
+        self._tm_raw: dict[bytes, bytes] = {}  # table_id(6B) -> raw TABLE_MAP payload
         self.current_file_seq: int | None = None
         self.table_filter = table_filter  # callable (db, table) -> bool
         self.stop_position = stop_position  # (file_seq, pos): exclusive
@@ -488,12 +489,24 @@ class BinlogSession:
         blob: bytes | memoryview,
         file_seq: int,
     ):
-        """Decode one framed packet; yields raw row changes as
-        ``(header, event_row_index, table_id, RowChange)`` tuples.
+        """Per-row variant of :meth:`process_packet_events`: yields
+        ``(header, event_row_index, table_id, RowChange)`` tuples."""
+        for hdr, table_id, changes in self.process_packet_events(blob, file_seq):
+            for idx, ch in enumerate(changes, start=1):  # 1-based (main.zig:239)
+                yield hdr, idx, table_id, ch
+
+    def process_packet_events(
+        self,
+        blob: bytes | memoryview,
+        file_seq: int,
+    ):
+        """Decode one framed packet; yields ``(header, table_id,
+        [RowChange])`` — one tuple per ROWS event.
 
         This is the allocation-light core shared by the JSON-envelope path
         (:meth:`process_packet`) and the typed fast path
-        (functions/decode.decode_typed*)."""
+        (functions/decode.decode_typed*); event-level granularity lets the
+        typed decoder build its Arrow columns with per-event bulk extends."""
         if self.stopped:
             return
         mv = memoryview(blob)
@@ -515,6 +528,14 @@ class BinlogSession:
 
         et = hdr.event_type
         if et == EventType.TABLE_MAP:
+            # real binlogs re-announce the (byte-identical) TABLE_MAP before
+            # every ROWS statement group; skip re-parsing when the raw bytes
+            # match what we already cached
+            raw = bytes(payload)
+            cached = self._tm_raw.get(raw[:6])
+            if cached == raw:
+                return
+            self._tm_raw[raw[:6]] = raw
             table_id, schema = parse_table_map(payload)
             # earliest-possible filter: excluded tables are never cached, so
             # their ROWS events skip all parsing (binlog_reader.zig:404-417)
@@ -542,8 +563,7 @@ class BinlogSession:
             return  # uncached ⇒ skip entirely
         changes = parse_rows_event(et, payload, schema, self._decoders[table_id])
         self.rows_emitted += len(changes)
-        for idx, ch in enumerate(changes, start=1):  # 1-based (main.zig:239)
-            yield hdr, idx, table_id, ch
+        yield hdr, table_id, changes
 
     def process_packet(
         self,

@@ -187,40 +187,53 @@ def make_typed_decoder(
     def new_cols():
         return [[] for _ in range(n_payload + len(_META_ARROW))]
 
+    str_set = {i for i, k in enumerate(kinds) if k == "s"}
+
+    def _coerce(v):
+        if isinstance(v, (bytes, bytearray, memoryview)):
+            return "0x" + bytes(v).hex()
+        return str(v)
+
     def decode_stream(packet_iter):
-        """packet_iter yields (blob, file_seq, gtid, event_seq)."""
+        """packet_iter yields (blob, file_seq, gtid, event_seq).
+
+        Columns are built with per-event bulk extends (rows within one ROWS
+        event share a schema and dml type), so the Python work per event is
+        ~one comprehension per column, not per-row appends."""
         from ..binlog.decoder import BinlogSession
 
         session = BinlogSession(table_filter=table_filter, stop_position=stop_position)
         cols = new_cols()
         n = 0
-        str_cols = [i for i, k in enumerate(kinds) if k == "s"]
+        base = n_payload
         for blob, file_seq, gtid, event_seq in packet_iter:
-            for hdr, idx, _tid, ch in session.process_packet_rows(blob, file_seq):
-                after = ch.after
-                before = ch.before
-                deleted = after is None
-                src = before if deleted else after
-                m = len(src)
+            for hdr, _tid, changes in session.process_packet_events(blob, file_seq):
+                k = len(changes)
+                deleted = changes[0].after is None  # dml is uniform per event
+                srcs = (
+                    [c.before for c in changes] if deleted else [c.after for c in changes]
+                )
+                m = len(srcs[0])
                 for i in range(n_payload):
-                    v = src[i] if i < m else None
-                    if deleted and i not in keyset:
-                        v = None
-                    elif v is not None and i in str_cols and not isinstance(v, str):
-                        v = (
-                            "0x" + bytes(v).hex()
-                            if isinstance(v, (bytes, bytearray, memoryview))
-                            else str(v)
+                    col = cols[i]
+                    if i >= m or (deleted and i not in keyset):
+                        col.extend([None] * k)
+                    elif i in str_set:
+                        col.extend(
+                            [
+                                v[i] if (v[i] is None or type(v[i]) is str) else _coerce(v[i])
+                                for v in srcs
+                            ]
                         )
-                    cols[i].append(v)
-                base = n_payload
-                cols[base].append(deleted)
-                cols[base + 1].append(gtid)
-                cols[base + 2].append(event_seq)
-                cols[base + 3].append(idx)
-                cols[base + 4].append(file_seq)
-                cols[base + 5].append(hdr.log_pos)
-                n += 1
+                    else:
+                        col.extend([v[i] for v in srcs])
+                cols[base].extend([deleted] * k)
+                cols[base + 1].extend([gtid] * k)
+                cols[base + 2].extend([event_seq] * k)
+                cols[base + 3].extend(range(1, k + 1))
+                cols[base + 4].extend([file_seq] * k)
+                cols[base + 5].extend([hdr.log_pos] * k)
+                n += k
                 if n >= out_batch_rows:
                     yield to_batch(cols)
                     cols = new_cols()
