@@ -108,7 +108,12 @@ disks / object store) does not do — the criterion measures compute scaling.
 **End-to-end scaling efficiency (N→4N): {eff:.3f}**
 **Decode-stage scaling efficiency (N→4N): {eff_d:.3f}**
 
-Efficiency = (throughput_4N / throughput_N) / 4.
+Efficiency = (throughput_4N / throughput_N) / 4.  The e2e row is the north
+metric (change-events/sec applied).  The decode-only row benchmarks the
+*envelope* decode path, which deliberately includes a full blob shuffle
+(segment co-location for arbitrary sources) — that shuffle is memory-
+bandwidth-bound on one box and caps its scaling; the e2e pipeline uses the
+zero-shuffle typed decode (task-per-segment-file) and scales with cores.
 
 Reference single-node comparison point: 594,249 rows/sec
 (/root/reference/README.md:427; pipeline mode, batch 8192).  Our engine's
