@@ -235,6 +235,42 @@ def q_broadcast_region_rollup(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_filtered_revenue(spark, sf_dir):
+    """TPC-H Q6-shaped scan+filter+agg (pure pushdown/codegen plan)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .select("revenue")
+    )
+
+
+def q_semi_join_big_orders(spark, sf_dir):
+    """EXISTS semi-join: orders having any lineitem above a price bar."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 5000)
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+def q_anti_join_quiet_customers(spark, sf_dir):
+    """NOT EXISTS anti-join: customers with no urgent orders."""
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
 def q_exact_dedup_docs(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return (
@@ -364,6 +400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_top_orders": q_revenue_top_orders,
         "broadcast_region_rollup": q_broadcast_region_rollup,
+        "filtered_revenue": q_filtered_revenue,
+        "semi_join_big_orders": q_semi_join_big_orders,
+        "anti_join_quiet_customers": q_anti_join_quiet_customers,
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_dup_pairs": q_minhash_dup_pairs,
@@ -482,6 +521,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON n.n_nationkey = c.c_nationkey
             JOIN region r ON r.r_regionkey = n.n_regionkey
             GROUP BY r.r_name
+        """,
+        "filtered_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.03 AND 0.07
+              AND l_quantity < 24
+        """,
+        "semi_join_big_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 5000
+            )
+        """,
+        "anti_join_quiet_customers": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+            )
         """,
         "exact_dedup_docs": f"""
             SELECT {T.fingerprint_sql('text')} AS fp,

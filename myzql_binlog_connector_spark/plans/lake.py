@@ -96,10 +96,24 @@ class BucketedLakeTable:
         mpath = os.path.join(self._mdir(), f"v{version}.json")
         with open(mpath, "w") as f:
             json.dump(manifest, f, indent=1)
+        # append the commit's lineage record to the durable metrics log
+        # (A2: per-micro-batch lineage/metrics rows, queryable via
+        # :meth:`metrics`); the jsonl append lands before the LATEST swap so
+        # a crash between the two never loses a committed batch's record
+        lineage = manifest.get("lineage") or []
+        if lineage:
+            with open(os.path.join(self._mdir(), "metrics.jsonl"), "a") as f:
+                f.write(json.dumps(lineage[-1]) + "\n")
         tmp = os.path.join(self._mdir(), f".latest.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(version))
         os.replace(tmp, os.path.join(self._mdir(), LATEST))  # atomic swap
+
+    def metrics(self) -> "DataFrame":
+        """Durable per-commit lineage/metrics as a DataFrame (one row per
+        commit: rows, buckets, bytes, wall_ms, watermarks, evolution)."""
+        path = os.path.join(self._mdir(), "metrics.jsonl")
+        return self.spark.read.json(path)
 
     # ------------------------------------------------------------------
     # read paths

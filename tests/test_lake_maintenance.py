@@ -59,6 +59,20 @@ class TestMaintenance:
         wms = table.watermarks()
         assert wms["1"]["log_pos"] == 500 and wms["2"]["gtid"] == 50
 
+    def test_metrics_table(self, spark, table):
+        df = spark.createDataFrame(
+            [(50, "y", False, 200, 0, 1)],
+            "k bigint, val string, _deleted boolean, _gtid bigint, _event_seq bigint, _event_row_index bigint",
+        )
+        table.merge(df, batch_id=7)
+        m = table.metrics()
+        rows = {r["version"]: r for r in m.collect()}
+        assert len(rows) >= 2  # fixture commit + this one
+        latest = rows[max(rows)]
+        assert latest["batch_id"] == 7
+        assert latest["input_rows"] == 1
+        assert latest["wall_ms"] > 0
+
     def test_merge_only_rewrites_dirty_buckets(self, spark, table):
         files_before = dict(table.snapshot_manifest()["files"])
         # touch exactly one key → at most one dirty bucket
