@@ -38,6 +38,7 @@ class BinlogReplayStream:
         table_filter=None,
         stop_position: tuple[int, int] | None = None,
         max_files_per_trigger: int | None = 1,
+        compact_every: int | None = None,
     ):
         self.spark = spark
         self.segments_path = segments_path
@@ -46,7 +47,9 @@ class BinlogReplayStream:
         self.table_filter = table_filter
         self.stop_position = stop_position
         self.max_files_per_trigger = max_files_per_trigger
+        self.compact_every = compact_every
         self.batch_records: list[dict] = []
+        self._applied_since_compact = 0
 
     def _process_batch(self, batch_df, batch_id: int):
         envelope = decode_changes(
@@ -58,6 +61,18 @@ class BinlogReplayStream:
             envelope, batch_id=batch_id, raw_events=batch_df
         )
         self.batch_records.append(record)
+        # periodic maintenance: bin-pack small files and GC tombstones below
+        # the low watermark (min applied gtid across source files — nothing
+        # older can ever be redelivered with a higher gtid)
+        if self.compact_every and not record.get("skipped"):
+            self._applied_since_compact += 1
+            if self._applied_since_compact >= self.compact_every:
+                self._applied_since_compact = 0
+                wms = self.applier.table.watermarks()
+                low = min((v["gtid"] for v in wms.values()), default=None)
+                self.applier.table.compact(
+                    drop_tombstones_below=(low,) if low is not None else None
+                )
 
     def start(self, available_now: bool = True):
         """Start the stream; with ``available_now`` it drains the current

@@ -52,6 +52,18 @@ class TestStreamingReplay:
         assert len(table.lineage()) >= 1
         assert all("wall_ms" in r for r in table.lineage() if "compaction" not in r)
 
+    def test_periodic_compaction_preserves_state(self, spark, gen, tmp_path):
+        stream, tmp = gen
+        table = BucketedLakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4)
+        replay = BinlogReplayStream(
+            spark, str(tmp / "seg"), TranscriptsApplier(spark, table),
+            checkpoint_dir=str(tmp_path / "ckpt"), compact_every=2,
+        )
+        replay.run_to_completion(timeout_sec=300)
+        assert _state_dict(table.read()) == _truth_dict(stream)
+        # compaction ran and is recorded in lineage
+        assert any(r.get("compaction") for r in table.lineage())
+
     def test_unbounded_tail_picks_up_new_segments(self, spark, tmp_path):
         """T1: with a processing-time trigger the stream tails the store —
         segments arriving after start are applied without restart."""
