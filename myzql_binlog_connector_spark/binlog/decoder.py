@@ -225,6 +225,28 @@ def decode_value(spec: ColumnSpec, buf: memoryview, pos: int):
 
 
 @dataclass(frozen=True)
+class GtidInfo:
+    flags: int
+    sid: bytes  # 16B source-server UUID
+    gno: int    # transaction number
+
+    @property
+    def gtid_str(self) -> str:
+        import uuid as _uuid
+
+        return f"{_uuid.UUID(bytes=self.sid)}:{self.gno}"
+
+
+def parse_gtid(payload: memoryview) -> GtidInfo:
+    """GTID_LOG_EVENT (33): 1B flags + 16B SID + 8B LE GNO."""
+    return GtidInfo(
+        payload[0],
+        bytes(payload[1:17]),
+        int.from_bytes(payload[17:25], "little"),
+    )
+
+
+@dataclass(frozen=True)
 class RotateInfo:
     next_position: int
     next_file: str
@@ -477,6 +499,11 @@ class BinlogSession:
         self._schema_desc: dict[int, str] = {}  # table_id -> compact JSON desc
         self._decoders: dict[int, list] = {}  # table_id -> compiled column decoders
         self._tm_raw: dict[bytes, bytes] = {}  # table_id(6B) -> raw TABLE_MAP payload
+        # in-band gtid tracking: GTID_LOG_EVENT announces the transaction
+        # number of everything until the next GTID event; event_seq counts
+        # events within the current transaction
+        self.current_gtid: int | None = None
+        self.current_event_seq: int = 0
         self.current_file_seq: int | None = None
         self.table_filter = table_filter  # callable (db, table) -> bool
         self.stop_position = stop_position  # (file_seq, pos): exclusive
@@ -527,6 +554,12 @@ class BinlogSession:
                 return
 
         et = hdr.event_type
+        if et == EventType.GTID:
+            g = parse_gtid(payload)
+            self.current_gtid = g.gno
+            self.current_event_seq = 0
+            return
+        self.current_event_seq += 1
         if et == EventType.TABLE_MAP:
             # real binlogs re-announce the (byte-identical) TABLE_MAP before
             # every ROWS statement group; skip re-parsing when the raw bytes
@@ -565,6 +598,13 @@ class BinlogSession:
         self.rows_emitted += len(changes)
         yield hdr, table_id, changes
 
+    def effective_ids(self, gtid: int, event_seq: int) -> tuple[int, int]:
+        """In-band GTID (from GTID_LOG_EVENTs) wins over the side-column
+        ordering keys; synthetic stores without GTID events keep theirs."""
+        if self.current_gtid is not None:
+            return self.current_gtid, self.current_event_seq
+        return gtid, event_seq
+
     def process_packet(
         self,
         blob: bytes | memoryview,
@@ -574,6 +614,7 @@ class BinlogSession:
     ):
         """Decode one framed packet; yields envelope dicts for row changes."""
         for hdr, idx, table_id, ch in self.process_packet_rows(blob, file_seq):
+            gtid, event_seq = self.effective_ids(gtid, event_seq)
             schema = self.table_maps[table_id]
             yield {
                 "timestamp": hdr.timestamp,

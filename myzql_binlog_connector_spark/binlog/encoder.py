@@ -312,6 +312,14 @@ class EventWriter:
     def delete_rows(self, table_id: int, schema: TableSchema, rows: list):
         return self._rows_event(32, table_id, schema, rows)
 
+    # -- GTID -------------------------------------------------------------
+    def gtid_event(self, gno: int, sid: bytes = b"\x01" * 16, flags: int = 1):
+        """GTID_LOG_EVENT (type 33): commit flag byte + 16B source-server
+        UUID + 8B LE transaction number.  Announces the gtid of the
+        transaction that follows (public MySQL 5.6+ layout)."""
+        payload = bytes([flags]) + sid + gno.to_bytes(8, "little")
+        return self._emit(33, payload)
+
     # -- ROTATE ---------------------------------------------------------------
     def rotate(self, next_file: str, next_pos: int = 4):
         payload = next_pos.to_bytes(8, "little") + next_file.encode()

@@ -208,6 +208,7 @@ def make_typed_decoder(
         base = n_payload
         for blob, file_seq, gtid, event_seq in packet_iter:
             for hdr, _tid, changes in session.process_packet_events(blob, file_seq):
+                gtid, event_seq = session.effective_ids(gtid, event_seq)
                 k = len(changes)
                 deleted = changes[0].after is None  # dml is uniform per event
                 srcs = (
