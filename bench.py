@@ -120,8 +120,24 @@ def bench_cdc_replay(spark, sf_tag: str, n_buckets: int = 32) -> dict:
 
 
 def bench_decode_only(spark, sf_tag: str) -> dict:
-    """Isolates the vectorized decode stage (reference comparison point:
-    594k rows/sec single-node, README.md:427)."""
+    """Isolates the decode stage — the zero-shuffle bounded-replay path
+    (size-binned segment files, task-per-bin, code-generated parsers).
+    Reference comparison point: 594k rows/sec single-node, README.md:427."""
+    import glob
+
+    from myzql_binlog_connector_spark.functions.decode import decode_segment_files
+
+    seg_dir, n_ops = ensure_cdc_fixture(sf_tag)
+    paths = sorted(glob.glob(os.path.join(seg_dir, "*.parquet")))
+    t0 = time.monotonic()
+    n = decode_segment_files(spark, paths).count()
+    wall = time.monotonic() - t0
+    return {"sec": round(wall, 3), "rows": n, "rows_per_sec": round(n / wall, 1)}
+
+
+def bench_decode_shuffle(spark, sf_tag: str) -> dict:
+    """Decode when events arrive as a DataFrame (streaming/foreachBatch
+    shape): blobs shuffle to co-locate segments, then mapInArrow."""
     from myzql_binlog_connector_spark.functions.decode import decode_changes
 
     seg_dir, n_ops = ensure_cdc_fixture(sf_tag)
@@ -172,6 +188,8 @@ def main():
     queries["cdc_replay_e2e"] = cdc["sec"]
     dec = bench_decode_only(spark, sf_tag)
     queries["cdc_decode_only"] = dec["sec"]
+    dec_sh = bench_decode_shuffle(spark, sf_tag)
+    queries["cdc_decode_shuffle"] = dec_sh["sec"]
 
     for name in HEADLINE:
         fn = qfns[name]
@@ -190,6 +208,7 @@ def main():
         "cpus": cpus,
         "cdc_replay": cdc,
         "cdc_decode": dec,
+        "cdc_decode_shuffle": dec_sh,
     }
     print(json.dumps(out))
     spark.stop()

@@ -90,24 +90,38 @@ def _civil_from_days(z: int) -> tuple[int, int, int]:
     return y + (1 if m <= 2 else 0), m, d
 
 
-_ts_cache: dict[int, str] = {}
+_day_cache: dict[int, str] = {}   # days-since-epoch -> "YYYY-MM-DD "
+_tod_cache: dict[int, str] = {}   # second-of-day -> "HH:MM:SS" (≤86400 entries)
+
+
+def _fmt_ts(secs: int, us: int) -> str:
+    """Format (unix seconds, microseconds) — split day/time-of-day caches:
+    the time-of-day cache saturates at 86400 entries regardless of the
+    stream's timestamp cardinality, so steady-state formatting is two dict
+    hits + a concat."""
+    if not (secs or us):
+        return None  # zero-timestamp → null (reference zero-date analogue)
+    days = secs // 86400
+    rem = secs - days * 86400
+    d = _day_cache.get(days)
+    if d is None:
+        y, mo, dd = _civil_from_days(days)
+        d = f"{y:04d}-{mo:02d}-{dd:02d} "
+        _day_cache[days] = d
+    t = _tod_cache.get(rem)
+    if t is None:
+        h, r2 = divmod(rem, 3600)
+        mi, s = divmod(r2, 60)
+        t = f"{h:02d}:{mi:02d}:{s:02d}"
+        _tod_cache[rem] = t
+    if us:
+        return f"{d}{t}.{us:06d}"
+    return d + t
 
 
 def _fmt_ts_us(unix_us: int) -> str:
-    if unix_us == 0:
-        return None  # zero-timestamp → null (reference zero-date analogue)
-    secs, us = divmod(unix_us, 1_000_000)
-    base = _ts_cache.get(secs)
-    if base is None:
-        days, rem = divmod(secs, 86400)
-        h, rem = divmod(rem, 3600)
-        mi, s = divmod(rem, 60)
-        y, mo, d = _civil_from_days(days)
-        base = f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
-        if len(_ts_cache) > 65536:  # bound memory in long-running workers
-            _ts_cache.clear()
-        _ts_cache[secs] = base
-    return f"{base}.{us:06d}" if us else base
+    secs = unix_us // 1_000_000
+    return _fmt_ts(secs, unix_us - secs * 1_000_000)
 
 
 def _fmt_time(parts) -> str:
@@ -485,6 +499,59 @@ def row_values_to_json(values: list | None) -> str | None:
     return _dumps(obj)
 
 
+def rows_prelude(event_type: int, payload: memoryview) -> tuple[int, int, bytes, bytes]:
+    """Parse the ROWS-event prelude: table_id+flags(+v2 extra), column
+    count, present-column bitmap(s).  Returns (pos, n_cols, present1,
+    present2) with the bitmaps as bytes (cache keys for the code-generated
+    body parsers)."""
+    pos = 6 + 2
+    if event_type in ROWS_V2_TYPES:
+        extra_len = int.from_bytes(payload[pos : pos + 2], "little")
+        pos += extra_len  # includes its own 2 bytes
+    n_cols, pos = read_lenenc(payload, pos)
+    nb = (n_cols + 7) // 8
+    p1 = bytes(payload[pos : pos + nb])
+    pos += nb
+    p2 = p1
+    if event_type in UPDATE_ROWS_TYPES:
+        p2 = bytes(payload[pos : pos + nb])
+        pos += nb
+    return pos, n_cols, p1, p2
+
+
+def _present_list(bitmap: bytes, n_cols: int) -> list[int]:
+    return [i for i in range(n_cols) if bitmap[i // 8] >> (i % 8) & 1]
+
+
+def _dml_for(event_type: int) -> str:
+    if event_type in WRITE_ROWS_TYPES:
+        return DML_INSERT
+    if event_type in DELETE_ROWS_TYPES:
+        return DML_DELETE
+    return DML_UPDATE
+
+
+class EnvelopeBatch:
+    """Columnar accumulator for the change-event envelope — one list per
+    output column, so the decode loop never builds per-row dicts."""
+
+    __slots__ = (
+        "timestamp", "server_id", "log_pos", "event_row_index", "database",
+        "table_name", "dml_type", "before_values", "after_values", "gtid",
+        "event_seq", "file_seq", "payload_schema",
+    )
+
+    def __init__(self):
+        for name in self.__slots__:
+            setattr(self, name, [])
+
+    def __len__(self):
+        return len(self.log_pos)
+
+    def columns(self) -> list[list]:
+        return [getattr(self, name) for name in self.__slots__]
+
+
 class BinlogSession:
     """Stateful ordered scan over one binlog segment sequence.
 
@@ -499,6 +566,9 @@ class BinlogSession:
         self._schema_desc: dict[int, str] = {}  # table_id -> compact JSON desc
         self._decoders: dict[int, list] = {}  # table_id -> compiled column decoders
         self._tm_raw: dict[bytes, bytes] = {}  # table_id(6B) -> raw TABLE_MAP payload
+        # (table_id, event_type, present1, present2[, …]) -> generated parser;
+        # entries for a table_id are dropped when its TABLE_MAP changes
+        self._parser_cache: dict = {}
         # in-band gtid tracking: GTID_LOG_EVENT announces the transaction
         # number of everything until the next GTID event; event_seq counts
         # events within the current transaction
@@ -522,28 +592,32 @@ class BinlogSession:
             for idx, ch in enumerate(changes, start=1):  # 1-based (main.zig:239)
                 yield hdr, idx, table_id, ch
 
-    def process_packet_events(
-        self,
-        blob: bytes | memoryview,
-        file_seq: int,
-    ):
-        """Decode one framed packet; yields ``(header, table_id,
-        [RowChange])`` — one tuple per ROWS event.
-
-        This is the allocation-light core shared by the JSON-envelope path
-        (:meth:`process_packet`) and the typed fast path
-        (functions/decode.decode_typed*); event-level granularity lets the
-        typed decoder build its Arrow columns with per-event bulk extends."""
+    def _pre_rows(self, blob: bytes | memoryview, file_seq: int):
+        """Shared header/TABLE_MAP/GTID/stop handling.  Returns ``(header,
+        event_type, payload, table_id, schema)`` for a ROWS event of a
+        cached (i.e. non-filtered) table, else None."""
         if self.stopped:
-            return
+            return None
         mv = memoryview(blob)
         if mv[0] != 0x00:
             raise ValueError("packet missing OK byte")
+        self.events_seen += 1
+        self.current_file_seq = file_seq
+        # fast skip: event_type is byte 5 of the framed packet (OK byte +
+        # 4B timestamp); events we neither decode nor track state for can
+        # bail before any header parse — unless a stop bound needs log_pos
+        et0 = mv[5]
+        if (
+            self.stop_position is None
+            and et0 not in ROWS_EVENT_TYPES
+            and et0 != EventType.GTID
+            and et0 != EventType.TABLE_MAP
+        ):
+            self.current_event_seq += 1
+            return None
         body = mv[1 : len(mv) - CRC_LEN]
         hdr = parse_header(body)
         payload = body[HEADER_LEN:]
-        self.events_seen += 1
-        self.current_file_seq = file_seq
 
         # bounded-replay stop: events at log_pos >= stop are EXCLUDED
         # (binlog_reader.zig:443-455)
@@ -551,14 +625,14 @@ class BinlogSession:
             sf, sp = self.stop_position
             if file_seq > sf or (file_seq == sf and hdr.log_pos >= sp):
                 self.stopped = True
-                return
+                return None
 
         et = hdr.event_type
         if et == EventType.GTID:
             g = parse_gtid(payload)
             self.current_gtid = g.gno
             self.current_event_seq = 0
-            return
+            return None
         self.current_event_seq += 1
         if et == EventType.TABLE_MAP:
             # real binlogs re-announce the (byte-identical) TABLE_MAP before
@@ -567,16 +641,18 @@ class BinlogSession:
             raw = bytes(payload)
             cached = self._tm_raw.get(raw[:6])
             if cached == raw:
-                return
+                return None
             self._tm_raw[raw[:6]] = raw
             table_id, schema = parse_table_map(payload)
+            for k in [k for k in self._parser_cache if k[0] == table_id]:
+                del self._parser_cache[k]
             # earliest-possible filter: excluded tables are never cached, so
             # their ROWS events skip all parsing (binlog_reader.zig:404-417)
             if self.table_filter is not None and not self.table_filter(schema.database, schema.table):
                 self.table_maps.pop(table_id, None)
                 self._schema_desc.pop(table_id, None)
                 self._decoders.pop(table_id, None)
-                return
+                return None
             self.table_maps[table_id] = schema  # last TABLE_MAP wins
             self._decoders[table_id] = [compile_decoder(c) for c in schema.columns]
             # compact schema descriptor rides along with every decoded row —
@@ -586,17 +662,135 @@ class BinlogSession:
                 [[c.type_code, c.meta, int(c.nullable)] for c in schema.columns],
                 separators=(",", ":"),
             )
-            return
+            return None
         if et not in ROWS_EVENT_TYPES:
-            return
+            return None
 
         table_id = int.from_bytes(payload[:6], "little")
         schema = self.table_maps.get(table_id)
         if schema is None:
-            return  # uncached ⇒ skip entirely
+            return None  # uncached ⇒ skip entirely
+        return hdr, et, payload, table_id, schema
+
+    def process_packet_events(
+        self,
+        blob: bytes | memoryview,
+        file_seq: int,
+    ):
+        """Decode one framed packet; yields ``(header, table_id,
+        [RowChange])`` — one tuple per ROWS event.
+
+        The generic (per-value closure) body parse — the reference-shaped
+        implementation the code-generated fast paths are equality-tested
+        against."""
+        pre = self._pre_rows(blob, file_seq)
+        if pre is None:
+            return
+        hdr, et, payload, table_id, schema = pre
         changes = parse_rows_event(et, payload, schema, self._decoders[table_id])
         self.rows_emitted += len(changes)
         yield hdr, table_id, changes
+
+    def process_packet_columnar(
+        self,
+        blob: bytes | memoryview,
+        file_seq: int,
+        gtid: int,
+        event_seq: int,
+        out: EnvelopeBatch,
+    ) -> int:
+        """Hot-path envelope decode: appends change rows columnar into
+        ``out`` via the code-generated per-schema parser (rowcodec).
+        Returns the number of rows appended."""
+        pre = self._pre_rows(blob, file_seq)
+        if pre is None:
+            return 0
+        hdr, et, payload, table_id, schema = pre
+        ckey = (table_id, et)
+        hit = self._parser_cache.get(ckey)
+        pos, n_cols, p1, p2 = rows_prelude(et, payload)
+        if hit is None or hit[1] != p1 or hit[2] != p2:
+            from .rowcodec import get_env_parser
+
+            dml = _dml_for(et)
+            parser = get_env_parser(
+                schema,
+                self._schema_desc[table_id],
+                _present_list(p1, n_cols),
+                _present_list(p2, n_cols),
+                dml,
+            )
+            hit = (parser, p1, p2, dml)
+            self._parser_cache[ckey] = hit
+        parser, _, _, dml = hit
+        k = parser(payload, pos, len(payload), out.before_values.append, out.after_values.append)
+        if dml == DML_INSERT:
+            out.before_values.extend([None] * k)
+        elif dml == DML_DELETE:
+            out.after_values.extend([None] * k)
+        g, es = self.effective_ids(gtid, event_seq)
+        out.timestamp.extend([hdr.timestamp] * k)
+        out.server_id.extend([hdr.server_id] * k)
+        out.log_pos.extend([hdr.log_pos] * k)
+        out.event_row_index.extend(range(1, k + 1))
+        out.database.extend([schema.database] * k)
+        out.table_name.extend([schema.table] * k)
+        out.dml_type.extend([dml] * k)
+        out.gtid.extend([g] * k)
+        out.event_seq.extend([es] * k)
+        out.file_seq.extend([file_seq] * k)
+        out.payload_schema.extend([self._schema_desc[table_id]] * k)
+        self.rows_emitted += k
+        return k
+
+    def process_packet_typed(
+        self,
+        blob: bytes | memoryview,
+        file_seq: int,
+        gtid: int,
+        event_seq: int,
+        apps: tuple,
+        meta_cols: list,
+        kinds: tuple,
+        key_positions: tuple,
+        n_payload: int,
+    ) -> int:
+        """Typed fast path: appends payload values through ``apps`` (one
+        ``list.append`` per payload column) and ``_deleted`` through
+        ``apps[n_payload]``; extends the remaining meta columns
+        (gtid/event_seq/row_index/file_seq/log_pos) per event.  Returns rows
+        appended."""
+        pre = self._pre_rows(blob, file_seq)
+        if pre is None:
+            return 0
+        hdr, et, payload, table_id, schema = pre
+        ckey = (table_id, et, "t")
+        hit = self._parser_cache.get(ckey)
+        pos, n_cols, p1, p2 = rows_prelude(et, payload)
+        if hit is None or hit[1] != p1 or hit[2] != p2:
+            from .rowcodec import get_typed_parser
+
+            parser = get_typed_parser(
+                schema,
+                self._schema_desc[table_id],
+                _present_list(p1, n_cols),
+                _present_list(p2, n_cols),
+                _dml_for(et),
+                kinds,
+                key_positions,
+                n_payload,
+            )
+            hit = (parser, p1, p2)
+            self._parser_cache[ckey] = hit
+        k = hit[0](payload, pos, len(payload), apps, apps[n_payload])
+        g, es = self.effective_ids(gtid, event_seq)
+        meta_cols[0].extend([g] * k)
+        meta_cols[1].extend([es] * k)
+        meta_cols[2].extend(range(1, k + 1))
+        meta_cols[3].extend([file_seq] * k)
+        meta_cols[4].extend([hdr.log_pos] * k)
+        self.rows_emitted += k
+        return k
 
     def effective_ids(self, gtid: int, event_seq: int) -> tuple[int, int]:
         """In-band GTID (from GTID_LOG_EVENTs) wins over the side-column

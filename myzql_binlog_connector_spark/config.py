@@ -112,13 +112,26 @@ def run_replay(spark, config: ReplayConfig):
 
     tf = config.table_filter()
     if config.output_mode == "envelope":
+        from pyspark.sql import functions as F
+
         from .functions.decode import decode_changes
+        from .functions.position import position_at_least
         from .sources.segments import read_segments
 
         events = read_segments(spark, config.segments_path)
-        return [], decode_changes(
-            events, table_filter=tf, stop_position=config.to_position
-        )
+        if config.from_position is not None:
+            # whole segments below the from-file are pruned at the parquet
+            # scan; the intra-file cut happens on the decoded envelope so
+            # the TABLE_MAP state preceding from_position is preserved
+            events = events.filter(F.col("file_seq") >= int(config.from_position[0]))
+        env = decode_changes(events, table_filter=tf, stop_position=config.to_position)
+        if config.from_position is not None:
+            env = env.filter(
+                position_at_least(
+                    F.col("file_seq"), F.col("log_pos"), *config.from_position
+                )
+            )
+        return [], env
 
     table = BucketedLakeTable(
         spark,
@@ -137,6 +150,7 @@ def run_replay(spark, config: ReplayConfig):
         applier,
         checkpoint_dir=config.checkpoint_dir or tempfile.mkdtemp(prefix="ckpt_"),
         table_filter=tf,
+        from_position=config.from_position,
         stop_position=config.to_position,
         max_files_per_trigger=config.max_files_per_trigger,
     )

@@ -75,37 +75,39 @@ _ARROW_ENVELOPE = pa.schema(
 _COLS = [f.name for f in _ARROW_ENVELOPE]
 
 
-def _rows_to_batch(rows: list[dict]) -> pa.RecordBatch:
-    return pa.RecordBatch.from_pydict(
-        {c: [r[c] for r in rows] for c in _COLS}, schema=_ARROW_ENVELOPE
+def _env_to_batch(out) -> pa.RecordBatch:
+    return pa.RecordBatch.from_arrays(
+        [pa.array(col, type=f.type) for col, f in zip(out.columns(), _ARROW_ENVELOPE)],
+        schema=_ARROW_ENVELOPE,
     )
 
 
 def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 8192):
     """Build the mapInArrow function.  One BinlogSession per partition: the
     table-map cache persists across Arrow batches within the partition,
-    matching the reference reader whose cache lives for the connection."""
+    matching the reference reader whose cache lives for the connection.
+    Decode is columnar end to end: the code-generated per-schema parsers
+    (binlog/rowcodec.py) append straight into per-column lists — no per-row
+    dicts anywhere on the path."""
+    from ..binlog.decoder import EnvelopeBatch
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         session = BinlogSession(table_filter=table_filter, stop_position=stop_position)
-        pending: list[dict] = []
+        out = EnvelopeBatch()
         for batch in batches:
             file_seqs = batch.column("file_seq").to_pylist()
             gtids = batch.column("gtid").to_pylist()
             event_seqs = batch.column("event_seq").to_pylist()
-            blobs = batch.column("event_blob")
+            blobs = batch.column("event_blob").to_pylist()
             for i in range(batch.num_rows):
-                blob = blobs[i].as_py()
-                pending.extend(
-                    session.process_packet(
-                        blob, file_seq=file_seqs[i], gtid=gtids[i], event_seq=event_seqs[i]
-                    )
+                session.process_packet_columnar(
+                    blobs[i], file_seqs[i], gtids[i], event_seqs[i], out
                 )
-                if len(pending) >= out_batch_rows:
-                    yield _rows_to_batch(pending[:out_batch_rows])
-                    pending = pending[out_batch_rows:]
-        if pending:
-            yield _rows_to_batch(pending)
+                if len(out) >= out_batch_rows:
+                    yield _env_to_batch(out)
+                    out = EnvelopeBatch()
+        if len(out):
+            yield _env_to_batch(out)
 
     return decode_partition
 
@@ -176,7 +178,6 @@ def make_typed_decoder(
         + _META_ARROW
     )
     n_payload = len(column_names)
-    keyset = set(key_positions)
 
     def to_batch(cols: list[list]) -> pa.RecordBatch:
         return pa.RecordBatch.from_arrays(
@@ -187,62 +188,77 @@ def make_typed_decoder(
     def new_cols():
         return [[] for _ in range(n_payload + len(_META_ARROW))]
 
-    str_set = {i for i, k in enumerate(kinds) if k == "s"}
-
-    def _coerce(v):
-        if isinstance(v, (bytes, bytearray, memoryview)):
-            return "0x" + bytes(v).hex()
-        return str(v)
+    kinds_t = tuple(kinds)
+    keys_t = tuple(key_positions)
 
     def decode_stream(packet_iter):
         """packet_iter yields (blob, file_seq, gtid, event_seq).
 
-        Columns are built with per-event bulk extends (rows within one ROWS
-        event share a schema and dml type), so the Python work per event is
-        ~one comprehension per column, not per-row appends."""
+        The code-generated typed parsers (binlog/rowcodec.py) append decoded
+        values straight into the Arrow builder lists — fully inlined column
+        decode, no RowChange objects, no per-value closures."""
         from ..binlog.decoder import BinlogSession
 
         session = BinlogSession(table_filter=table_filter, stop_position=stop_position)
         cols = new_cols()
+        # apps: payload appends + _deleted append; meta_cols: the rest
+        apps = tuple(c.append for c in cols[: n_payload + 1])
+        meta_cols = cols[n_payload + 1 :]
         n = 0
-        base = n_payload
         for blob, file_seq, gtid, event_seq in packet_iter:
-            for hdr, _tid, changes in session.process_packet_events(blob, file_seq):
-                gtid, event_seq = session.effective_ids(gtid, event_seq)
-                k = len(changes)
-                deleted = changes[0].after is None  # dml is uniform per event
-                srcs = (
-                    [c.before for c in changes] if deleted else [c.after for c in changes]
-                )
-                m = len(srcs[0])
-                for i in range(n_payload):
-                    col = cols[i]
-                    if i >= m or (deleted and i not in keyset):
-                        col.extend([None] * k)
-                    elif i in str_set:
-                        col.extend(
-                            [
-                                v[i] if (v[i] is None or type(v[i]) is str) else _coerce(v[i])
-                                for v in srcs
-                            ]
-                        )
-                    else:
-                        col.extend([v[i] for v in srcs])
-                cols[base].extend([deleted] * k)
-                cols[base + 1].extend([gtid] * k)
-                cols[base + 2].extend([event_seq] * k)
-                cols[base + 3].extend(range(1, k + 1))
-                cols[base + 4].extend([file_seq] * k)
-                cols[base + 5].extend([hdr.log_pos] * k)
-                n += k
-                if n >= out_batch_rows:
-                    yield to_batch(cols)
-                    cols = new_cols()
-                    n = 0
+            n += session.process_packet_typed(
+                blob, file_seq, gtid, event_seq,
+                apps, meta_cols, kinds_t, keys_t, n_payload,
+            )
+            if n >= out_batch_rows:
+                yield to_batch(cols)
+                cols = new_cols()
+                apps = tuple(c.append for c in cols[: n_payload + 1])
+                meta_cols = cols[n_payload + 1 :]
+                n = 0
         if n:
             yield to_batch(cols)
 
     return decode_stream, arrow_schema
+
+
+def _bin_pack_paths(spark, paths: list[str], per_core: int = 2) -> DataFrame:
+    """LPT bin-packing of segment files into decode tasks.
+
+    One task per *file* drowns small segments in per-task overhead (~25 ms
+    each) and lets one hot segment straggle a whole wave; packing by file
+    size into ``per_core × parallelism`` bins gives one balanced wave with
+    amortized task cost.  File size is a good proxy for decode cost (bytes
+    ≈ events).  Returns a DataFrame with one JSON-encoded path list per row,
+    one row per partition."""
+    import heapq
+    import json as _json
+    import os
+
+    n_bins = max(1, min(len(paths), spark.sparkContext.defaultParallelism * per_core))
+
+    def size_of(p):
+        try:
+            return os.path.getsize(p)
+        except OSError:
+            return 1  # non-local FS: fall back to uniform packing
+
+    sized = sorted(((size_of(p), p) for p in paths), reverse=True)
+    bins: list[list[str]] = [[] for _ in range(n_bins)]
+    heap = [(0, i) for i in range(n_bins)]
+    heapq.heapify(heap)
+    for sz, p in sized:
+        load, i = heapq.heappop(heap)
+        bins[i].append(p)
+        heapq.heappush(heap, (load + sz, i))
+    bins = [b for b in bins if b]
+    # parallelize slices exactly one bin per partition — a round-robin
+    # repartition() would clump bins (observed: 2 bins in one task, 0 in
+    # another) and add a shuffle stage
+    rdd = spark.sparkContext.parallelize(
+        [(_json.dumps(b),) for b in bins], len(bins)
+    )
+    return spark.createDataFrame(rdd, "paths string")
 
 
 def decode_typed_from_files(
@@ -254,8 +270,11 @@ def decode_typed_from_files(
     table_filter=None,
     stop_position=None,
 ) -> DataFrame:
-    """Zero-shuffle typed decode: task-per-segment-file, pyarrow read inside
-    the task, typed Arrow columns out.  The bounded-replay fast path."""
+    """Zero-shuffle typed decode: size-balanced file bins, pyarrow read
+    inside the task, typed Arrow columns out.  The bounded-replay fast
+    path."""
+    import json as _json
+
     import pyarrow.parquet as pq
 
     from pyspark.sql.types import (
@@ -279,25 +298,26 @@ def decode_typed_from_files(
     ]
     spark_schema = StructType(fields)
 
-    paths_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
-        len(paths)
-    )
+    bins_df = _bin_pack_paths(spark, paths)
 
     def decode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            for path in batch.column("path").to_pylist():
-                tbl = pq.read_table(
-                    path, columns=["file_seq", "offset", "gtid", "event_seq", "event_blob"]
-                )
-                packet_iter = zip(
-                    tbl.column("event_blob").to_pylist(),
-                    tbl.column("file_seq").to_pylist(),
-                    tbl.column("gtid").to_pylist(),
-                    tbl.column("event_seq").to_pylist(),
-                )
-                yield from decode_stream(packet_iter)
+            for blob in batch.column("paths").to_pylist():
+                for path in _json.loads(blob):
+                    tbl = pq.read_table(
+                        path,
+                        columns=["file_seq", "offset", "gtid", "event_seq", "event_blob"],
+                        use_threads=False,  # tasks are already core-parallel
+                    )
+                    packet_iter = zip(
+                        tbl.column("event_blob").to_pylist(),
+                        tbl.column("file_seq").to_pylist(),
+                        tbl.column("gtid").to_pylist(),
+                        tbl.column("event_seq").to_pylist(),
+                    )
+                    yield from decode_stream(packet_iter)
 
-    return paths_df.mapInArrow(decode_files, schema=spark_schema)
+    return bins_df.mapInArrow(decode_files, schema=spark_schema)
 
 
 def decode_segment_files(
@@ -305,7 +325,7 @@ def decode_segment_files(
     paths: list[str],
     table_filter=None,
     stop_position: tuple[int, int] | None = None,
-    out_batch_rows: int = 8192,
+    out_batch_rows: int = 32768,
 ) -> DataFrame:
     """Zero-shuffle decode: one task per segment file, read with pyarrow
     inside the task, decode inline.
@@ -313,45 +333,46 @@ def decode_segment_files(
     ``decode_changes`` must shuffle raw blobs to co-locate segments; when
     the store is laid out one-file-per-segment (our generator, and the
     natural layout of a binlog archive), the file itself is the decode unit
-    — parallelizing the *path list* gives task-per-segment with no data
-    movement at all.  This is the high-throughput bounded-replay path; the
-    streaming path keeps ``decode_changes`` because foreachBatch hands it
-    blob rows."""
+    — size-balanced bins of segment files give one wave of tasks with no
+    data movement at all.  This is the high-throughput bounded-replay path;
+    the streaming path keeps ``decode_changes`` because foreachBatch hands
+    it blob rows."""
+    import json as _json
+
     import pyarrow.parquet as pq
 
-    n = len(paths)
-    paths_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(n)
+    bins_df = _bin_pack_paths(spark, paths)
 
     def decode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from ..binlog.decoder import BinlogSession
+        from ..binlog.decoder import BinlogSession, EnvelopeBatch
 
         for batch in batches:
-            for path in batch.column("path").to_pylist():
-                session = BinlogSession(
-                    table_filter=table_filter, stop_position=stop_position
-                )
-                tbl = pq.read_table(
-                    path, columns=["file_seq", "offset", "gtid", "event_seq", "event_blob"]
-                )
-                file_seqs = tbl.column("file_seq").to_pylist()
-                gtids = tbl.column("gtid").to_pylist()
-                event_seqs = tbl.column("event_seq").to_pylist()
-                blobs = tbl.column("event_blob").to_pylist()
-                pending: list[dict] = []
-                for i in range(tbl.num_rows):
-                    pending.extend(
-                        session.process_packet(
-                            blobs[i], file_seq=file_seqs[i],
-                            gtid=gtids[i], event_seq=event_seqs[i],
-                        )
+            for pblob in batch.column("paths").to_pylist():
+                for path in _json.loads(pblob):
+                    session = BinlogSession(
+                        table_filter=table_filter, stop_position=stop_position
                     )
-                    if len(pending) >= out_batch_rows:
-                        yield _rows_to_batch(pending[:out_batch_rows])
-                        pending = pending[out_batch_rows:]
-                if pending:
-                    yield _rows_to_batch(pending)
+                    tbl = pq.read_table(
+                        path,
+                        columns=["file_seq", "offset", "gtid", "event_seq", "event_blob"],
+                        use_threads=False,  # tasks are already core-parallel
+                    )
+                    file_seqs = tbl.column("file_seq").to_pylist()
+                    gtids = tbl.column("gtid").to_pylist()
+                    event_seqs = tbl.column("event_seq").to_pylist()
+                    blobs = tbl.column("event_blob").to_pylist()
+                    out = EnvelopeBatch()
+                    for i in range(tbl.num_rows):
+                        session.process_packet_columnar(
+                            blobs[i], file_seqs[i], gtids[i], event_seqs[i], out
+                        )
+                        if len(out) >= out_batch_rows:
+                            yield _env_to_batch(out)
+                            out = EnvelopeBatch()
+                    if len(out):
+                        yield _env_to_batch(out)
 
-    return paths_df.mapInArrow(decode_files, schema=ENVELOPE_SCHEMA)
+    return bins_df.mapInArrow(decode_files, schema=ENVELOPE_SCHEMA)
 
 
 SCHEMA_SCAN_SCHEMA = StructType(

@@ -36,6 +36,7 @@ class BinlogReplayStream:
         applier: TranscriptsApplier,
         checkpoint_dir: str,
         table_filter=None,
+        from_position: tuple[int, int] | None = None,
         stop_position: tuple[int, int] | None = None,
         max_files_per_trigger: int | None = 1,
         compact_every: int | None = None,
@@ -45,6 +46,7 @@ class BinlogReplayStream:
         self.applier = applier
         self.checkpoint_dir = checkpoint_dir
         self.table_filter = table_filter
+        self.from_position = from_position
         self.stop_position = stop_position
         self.max_files_per_trigger = max_files_per_trigger
         self.compact_every = compact_every
@@ -52,11 +54,30 @@ class BinlogReplayStream:
         self._applied_since_compact = 0
 
     def _process_batch(self, batch_df, batch_id: int):
+        if self.from_position is not None:
+            from pyspark.sql import functions as F
+
+            # segments wholly below the from-file never decode; the
+            # intra-file cut is applied on the envelope below so TABLE_MAP
+            # state preceding from_position is kept
+            batch_df = batch_df.filter(
+                F.col("file_seq") >= int(self.from_position[0])
+            )
         envelope = decode_changes(
             batch_df,
             table_filter=self.table_filter,
             stop_position=self.stop_position,
         )
+        if self.from_position is not None:
+            from pyspark.sql import functions as F
+
+            from ..functions.position import position_at_least
+
+            envelope = envelope.filter(
+                position_at_least(
+                    F.col("file_seq"), F.col("log_pos"), *self.from_position
+                )
+            )
         record = self.applier.apply_batch(
             envelope, batch_id=batch_id, raw_events=batch_df
         )
