@@ -298,10 +298,13 @@ def q_simhash_docs(spark, sf_dir):
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
-    # fixed blocking: compare doc_id with doc_id+1 (deterministic pair set)
-    pairs = docs.select(F.col("doc_id").alias("id_a")).withColumn(
-        "id_b", F.col("id_a") + 1
-    ).filter(F.col("id_b") <= docs.agg(F.max("doc_id")).collect()[0][0])
+    # fixed blocking: compare doc_id with doc_id+1 (deterministic pair set);
+    # the semi-join keeps the plan fully lazy (no driver-side max() collect)
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    ).join(
+        docs.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+    )
     return fuzzy.ngram_jaccard(docs, pairs, shingle_k=5, threshold=0.0)
 
 

@@ -24,9 +24,15 @@ from .text import h60, h60_sql, normalize_sql, shingle_rows, shingle_sets
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Ensure enough input partitions for the compute-heavy hash stages: a
     small-file source (1-2 partitions) would serialize the explode+md5 work.
-    No-op when the source is already well partitioned (the 100 TB case)."""
+    No-op when the source is already well partitioned (the 100 TB case).
+    Partition count comes from the file listing — ``df.rdd`` would force a
+    plan-to-RDD conversion on every operator call."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_in = len(df.inputFiles())
+    except Exception:
+        n_in = 0  # non-file source: assume the planner partitioned it
+    if 0 < n_in < target:
         return df.repartition(target, *[F.col(c) for c in cols]) if cols else df.repartition(target)
     return df
 
@@ -129,8 +135,13 @@ def minhash_dup_pairs(
     bands of r rows; candidates must agree on ALL r hashes of some band
     (r=1 floods the candidate set on corpora with shared common shingles —
     r≥2 keeps the false-candidate rate quadratic-safe at 10^9 docs), then
-    exact shingle-Jaccard ≥ threshold verifies."""
-    sh = shingle_sets(_spread(df.select(id_col, text_col), id_col), text_col, id_col, k=shingle_k)
+    exact shingle-Jaccard ≥ threshold verifies.
+
+    One full shingle pass total: signatures shingle the whole corpus once;
+    verification re-shingles only the candidate documents and computes
+    Jaccard from row-level (pair, shingle) equi-joins — no collect_set
+    arrays ever ship through a join (they'd blow task memory at 10^9
+    docs with long documents)."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     n_bands = n_hashes // band_rows
     # band key = concat of the band's r minhashes
@@ -165,16 +176,12 @@ def minhash_dup_pairs(
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    joined = cand.join(a, "id_a").join(b, "id_b")
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-        4,
-    )
-    return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= jaccard_threshold
+    # candidate pairs are re-read several times by the verifier (ids,
+    # intersection, base) — persist so the banding self-join runs once;
+    # the frame is candidate-sized, orders of magnitude below the corpus
+    cand = cand.persist()
+    return ngram_jaccard(
+        df, cand, text_col, id_col, shingle_k, threshold=jaccard_threshold
     )
 
 
@@ -249,21 +256,107 @@ def ngram_jaccard(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     threshold: float = 0.0,
+    verify: str = "auto",
+    max_broadcast_docs: int = 50_000,
 ) -> DataFrame:
-    """Exact char-n-gram Jaccard for given candidate pairs (id_a, id_b); if
-    ``pairs`` is None, all same-``source`` pairs are compared (bounded
-    blocking key for test-scale exactness)."""
-    sh = shingle_sets(_spread(df.select(id_col, text_col), id_col), text_col, id_col, k=shingle_k)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    """Exact char-n-gram Jaccard for given candidate pairs (id_a, id_b).
+
+    Only the documents appearing in ``pairs`` are shingled (semi-join
+    pushdown).  Two verify strategies — the problem is bimodal:
+
+    ``broadcast``  when the candidate documents fit a broadcast
+        (≤ ``max_broadcast_docs``): shingles are interned to int64 ids,
+        per-doc sorted id arrays are broadcast, and a vectorized
+        ``mapInPandas`` computes |A∩B| with ``np.intersect1d`` — candidate
+        pairs never shuffle and no shingle arrays ship through a join.
+        This wins when the candidate graph is dense (every doc in many
+        pairs): per-doc data moves once, not once per pair.
+    ``rows``  the unbounded-scale path: |A∩B| from row-level
+        (pair, shingle) equi-joins, |A∪B| = |A|+|B|−|A∩B| from per-doc
+        counts.  One row per (doc, gram) — a pathological 100 MB document
+        costs rows, not task or driver memory.
+    ``auto``  picks ``broadcast`` iff the candidate-doc count is under the
+        cap (one cheap count over the pair ids).
+
+    Either way the division + rounding happens JVM-side (``F.round``), so
+    results are bit-identical across strategies and to the DuckDB oracle.
+    Pairs whose docs are absent from ``df`` are dropped (inner-join
+    semantics); zero-intersection pairs keep jaccard 0.0."""
     if pairs is None:
         raise ValueError("provide candidate pairs (e.g. from minhash banding)")
-    joined = pairs.join(a, "id_a").join(b, "id_b")
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-        4,
+    spark = df.sparkSession
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    if verify == "auto":
+        verify = (
+            "broadcast" if cand_ids.count() <= max_broadcast_docs else "rows"
+        )
+    docs = _spread(df.select(id_col, text_col), id_col).join(
+        cand_ids, id_col, "left_semi"
+    )
+    # read multiple times below in both strategies: persist the
+    # candidate-only shingle rows instead of re-exploding
+    sh = shingle_rows(docs, text_col, id_col, k=shingle_k).distinct().persist()
+
+    if verify == "broadcast":
+        import numpy as np
+        import pandas as pd
+
+        sid = sh.select("sh").distinct().withColumn(
+            "sid", F.monotonically_increasing_id()
+        )
+        doc_sids = (
+            sh.join(sid, "sh")
+            .groupBy(id_col)
+            .agg(F.collect_list("sid").alias("sids"))
+        )
+        table = {
+            r[0]: np.sort(np.asarray(r[1], dtype=np.int64))
+            for r in doc_sids.collect()
+        }
+        bc = spark.sparkContext.broadcast(table)
+        dtypes = dict(pairs.dtypes)
+        out_schema = (
+            f"id_a {dtypes['id_a']}, id_b {dtypes['id_b']}, i bigint, u bigint"
+        )
+
+        def verify_fn(batches):
+            t = bc.value
+            for pdf in batches:
+                oa, ob, oi, ou = [], [], [], []
+                for x, y in zip(pdf["id_a"].tolist(), pdf["id_b"].tolist()):
+                    a, b = t.get(x), t.get(y)
+                    if a is None or b is None:
+                        continue
+                    i = int(np.intersect1d(a, b, assume_unique=True).size)
+                    oa.append(x)
+                    ob.append(y)
+                    oi.append(i)
+                    ou.append(int(a.size + b.size - i))
+                yield pd.DataFrame({"id_a": oa, "id_b": ob, "i": oi, "u": ou})
+
+        scored = pairs.mapInPandas(verify_fn, out_schema)
+        jac = F.round(F.col("i") / F.col("u"), 4)
+        return scored.select("id_a", "id_b", jac.alias("jaccard")).filter(
+            F.col("jaccard") >= threshold
+        )
+
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col(id_col).alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    base = pairs.join(inter, ["id_a", "id_b"], "left").na.fill({"i": 0})
+    joined = (
+        base.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b")), "id_b")
+    )
+    jac = F.round(F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i")), 4)
     return joined.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )

@@ -116,32 +116,46 @@ LANG_MARKERS = {
 _LANG_ORDER = ("en", "de", "fr", "es")
 
 
+def _marker_pattern(lang: str) -> str:
+    # normalized text is space-separated [a-z0-9]+ tokens, so \b-anchored
+    # alternation counts exactly the tokens equal to a marker (with dups)
+    return r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+
+
 def lang_hits(col: Column, lang: str) -> Column:
-    toks = tokens(normalize_text(col))
-    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
-    return F.size(F.filter(toks, lambda t: t.isin(*LANG_MARKERS[lang])))
+    """Marker-token occurrences in the normalized text.  ``regexp_count``
+    is whole-stage-codegen; the earlier ``F.filter(tokens, …)`` form ran
+    the lambda interpreted (~50× slower) and was re-evaluated per branch."""
+    return F.regexp_count(normalize_text(col), F.lit(_marker_pattern(lang)))
 
 
 def lang_id(col: Column) -> Column:
-    """argmax of marker hits, ties broken by _LANG_ORDER; no hits → 'und'."""
-    hits = {lang: lang_hits(col, lang) for lang in _LANG_ORDER}
-    g = F.greatest(*hits.values())
-    expr = F.when(g <= 0, F.lit("und"))
-    for lang in _LANG_ORDER:
-        expr = expr.when(hits[lang] == g, F.lit(lang))
-    return expr
+    """argmax of marker hits, ties broken by _LANG_ORDER; no hits → 'und'.
+
+    Each language's hit count is evaluated once: the candidates are packed
+    into orderable structs (hits, -order_rank, lang) and ``greatest`` picks
+    the winner — no per-branch re-evaluation, no higher-order functions."""
+    cands = [
+        F.struct(
+            lang_hits(col, lang).alias("h"),
+            F.lit(-i).alias("r"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(_LANG_ORDER)
+    ]
+    best = F.greatest(*cands)
+    return F.when(best["h"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def lang_hits_sql(expr: str, lang: str) -> str:
+    # DuckDB single-quoted strings keep backslashes literal — no re-escape
+    norm = normalize_sql(expr)
+    return f"len(regexp_extract_all({norm}, '{_marker_pattern(lang)}'))"
 
 
 def lang_id_sql(expr: str) -> str:
     """DuckDB mirror of :func:`lang_id`."""
-    norm = (
-        f"trim(regexp_replace(regexp_replace(lower({expr}), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
-    )
-    toks = f"CASE WHEN {norm}='' THEN [] ELSE regexp_split_to_array({norm}, '\\s+') END"
-    hit_exprs = {}
-    for lang, markers in LANG_MARKERS.items():
-        lst = ", ".join(f"'{m}'" for m in markers)
-        hit_exprs[lang] = f"len(list_filter({toks}, t -> t IN ({lst})))"
+    hit_exprs = {lang: lang_hits_sql(expr, lang) for lang in _LANG_ORDER}
     g = "greatest(" + ", ".join(hit_exprs[lang] for lang in _LANG_ORDER) + ")"
     sql = f"CASE WHEN {g} <= 0 THEN 'und' "
     for lang in _LANG_ORDER:
@@ -176,12 +190,7 @@ def quality_score_sql(expr: str) -> str:
     n = f"length({expr})"
     alpha = f"length(regexp_replace({expr}, '[^a-zA-Z]', '', 'g'))"
     symbols = f"length(regexp_replace({expr}, '[a-zA-Z0-9\\s]', '', 'g'))"
-    norm = (
-        f"trim(regexp_replace(regexp_replace(lower({expr}), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
-    )
-    toks_arr = f"CASE WHEN {norm}='' THEN [] ELSE regexp_split_to_array({norm}, '\\s+') END"
-    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
-    stop_hits = f"len(list_filter({toks_arr}, t -> t IN ({markers})))"
+    stop_hits = lang_hits_sql(expr, "en")
     raw_toks = f"CASE WHEN trim({expr})='' THEN [] ELSE regexp_split_to_array(trim({expr}), '\\s+') END"
     toks = f"len({raw_toks})"
     score = (
