@@ -93,6 +93,21 @@ def q_cdc_bounded_replay(spark, sf_dir):
     return state.select("doc_id", "text")
 
 
+def q_cdc_partial_update(spark, sf_dir):
+    """PARTIAL_UPDATE_ROWS(39): partial-JSON diffs decode to the
+    ``{"$partial": [...]}`` envelope form (reference routes type 39 as a
+    plain update, event_parser.zig:1156-1171,1537; we decode the
+    value_options layout it skips)."""
+    events = harness.events_partial_stream(spark, sf_dir)
+    env = decode_changes(events)
+    upd = env.filter(F.col("dml_type") == "UPDATE").withColumn(
+        "_a", F.from_json("after_values", "c0 bigint, c1 string")
+    )
+    return upd.select(
+        F.col("_a.c0").alias("event_id"), F.col("_a.c1").alias("partial")
+    )
+
+
 def q_cdc_table_filter(spark, sf_dir):
     events = harness.docs_cdc_events(spark, sf_dir)
     tf = TableFilter(exclude=["corpus.documents"])
@@ -393,6 +408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_envelope_counts": q_cdc_envelope_counts,
         "cdc_bounded_replay": q_cdc_bounded_replay,
         "cdc_table_filter": q_cdc_table_filter,
+        "cdc_partial_update": q_cdc_partial_update,
         "lww_dedup_events": q_lww_dedup_events,
         "lww_dedup_salted_events": q_lww_dedup_salted_events,
         "event_type_filter": q_event_type_filter,
@@ -457,6 +473,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id < (SELECT CAST(ceil(count(*) / 2.0) AS BIGINT) FROM documents)
         """,
         "cdc_table_filter": "SELECT CAST(NULL AS VARCHAR) AS dml_type, CAST(NULL AS VARCHAR) AS after_values WHERE FALSE",
+        "cdc_partial_update": """
+            SELECT event_id,
+                   '{"$partial":[{"op":"replace","path":"$.v","value":'
+                   || CAST(user_id * 2 AS VARCHAR) || '}'
+                   || CASE WHEN event_id % 3 = 0 THEN ',{"op":"remove","path":"$.t"}' ELSE '' END
+                   || CASE WHEN event_id % 4 = 0 THEN ',{"op":"insert","path":"$.x","value":"p"}' ELSE '' END
+                   || ']}' AS partial
+            FROM events WHERE event_id % 5 = 0
+        """,
         "lww_dedup_events": """
             SELECT user_id, event_type, event_id, value FROM (
               SELECT *, row_number() OVER (

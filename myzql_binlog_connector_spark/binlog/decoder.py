@@ -428,6 +428,39 @@ def _read_row_image(decoders: list, n_cols: int, present: list[int], buf: memory
     return values, pos
 
 
+def _read_row_image_partial(
+    decoders: list,
+    n_cols: int,
+    present: list[int],
+    buf: memoryview,
+    pos: int,
+    partial_cols: set[int],
+    schema: TableSchema,
+):
+    """After-image of a PARTIAL_UPDATE_ROWS row: like _read_row_image, but
+    columns flagged in ``partial_cols`` hold a length-prefixed JSON-diff
+    sequence decoded to the ``{"$partial": [...]}`` envelope form."""
+    from .mysql_json import decode_json_diff
+
+    n_present = len(present)
+    nb = (n_present + 7) // 8
+    nullmap = buf[pos : pos + nb]
+    pos += nb
+    values = [None] * n_cols
+    for j, col_idx in enumerate(present):
+        if nullmap[j >> 3] >> (j & 7) & 1:
+            continue
+        if col_idx in partial_cols:
+            nbl = schema.columns[col_idx].meta or 4
+            ln = int.from_bytes(buf[pos : pos + nbl], "little")
+            pos += nbl
+            values[col_idx] = decode_json_diff(buf[pos : pos + ln])
+            pos += ln
+        else:
+            values[col_idx], pos = decoders[col_idx](buf, pos)
+    return values, pos
+
+
 @dataclass(frozen=True)
 class RowChange:
     dml_type: str
@@ -466,6 +499,12 @@ def parse_rows_event(
     end = len(payload)
     is_write = event_type in WRITE_ROWS_TYPES
     is_delete = event_type in DELETE_ROWS_TYPES
+    is_partial = event_type == EventType.PARTIAL_UPDATE_ROWS
+    json_cols = (
+        [i for i in present2 if schema.columns[i].type_code == ColumnType.JSON]
+        if is_partial
+        else []
+    )
     while pos < end:
         if is_write:
             after, pos = _read_row_image(decoders, n_cols, present1, payload, pos)
@@ -473,6 +512,27 @@ def parse_rows_event(
         elif is_delete:
             before, pos = _read_row_image(decoders, n_cols, present1, payload, pos)
             append(RowChange(DML_DELETE, before, None))
+        elif is_partial:
+            # PARTIAL_UPDATE_ROWS: after each before image, a lenenc
+            # value_options; when its PARTIAL_JSON bit is set, a bitmap
+            # (one bit per JSON column in the after image) flags columns
+            # whose value is a JSON-diff sequence, not a full document
+            before, pos = _read_row_image(decoders, n_cols, present1, payload, pos)
+            value_options, pos = read_lenenc(payload, pos)
+            partial_cols: set[int] = set()
+            if value_options & 1 and json_cols:
+                nb_p = (len(json_cols) + 7) // 8
+                pbits = payload[pos : pos + nb_p]
+                pos += nb_p
+                partial_cols = {
+                    c
+                    for j, c in enumerate(json_cols)
+                    if pbits[j >> 3] >> (j & 7) & 1
+                }
+            after, pos = _read_row_image_partial(
+                decoders, n_cols, present2, payload, pos, partial_cols, schema
+            )
+            append(RowChange(DML_UPDATE, before, after))
         else:
             before, pos = _read_row_image(decoders, n_cols, present1, payload, pos)
             after, pos = _read_row_image(decoders, n_cols, present2, payload, pos)
@@ -706,6 +766,16 @@ class BinlogSession:
         if pre is None:
             return 0
         hdr, et, payload, table_id, schema = pre
+        if et == EventType.PARTIAL_UPDATE_ROWS:
+            # partial-JSON layout is data-dependent per row (value_options +
+            # partial bitmap) — generic parser, not worth codegen
+            changes = parse_rows_event(et, payload, schema, self._decoders[table_id])
+            k = len(changes)
+            for ch in changes:
+                out.before_values.append(row_values_to_json(ch.before))
+                out.after_values.append(row_values_to_json(ch.after))
+            self._emit_env_meta(out, hdr, schema, table_id, file_seq, gtid, event_seq, DML_UPDATE, k)
+            return k
         ckey = (table_id, et)
         hit = self._parser_cache.get(ckey)
         pos, n_cols, p1, p2 = rows_prelude(et, payload)
@@ -728,6 +798,10 @@ class BinlogSession:
             out.before_values.extend([None] * k)
         elif dml == DML_DELETE:
             out.after_values.extend([None] * k)
+        self._emit_env_meta(out, hdr, schema, table_id, file_seq, gtid, event_seq, dml, k)
+        return k
+
+    def _emit_env_meta(self, out, hdr, schema, table_id, file_seq, gtid, event_seq, dml, k):
         g, es = self.effective_ids(gtid, event_seq)
         out.timestamp.extend([hdr.timestamp] * k)
         out.server_id.extend([hdr.server_id] * k)
@@ -741,7 +815,6 @@ class BinlogSession:
         out.file_seq.extend([file_seq] * k)
         out.payload_schema.extend([self._schema_desc[table_id]] * k)
         self.rows_emitted += k
-        return k
 
     def process_packet_typed(
         self,
@@ -764,6 +837,30 @@ class BinlogSession:
         if pre is None:
             return 0
         hdr, et, payload, table_id, schema = pre
+        if et == EventType.PARTIAL_UPDATE_ROWS:
+            changes = parse_rows_event(et, payload, schema, self._decoders[table_id])
+            k = len(changes)
+            for ch in changes:
+                src = ch.after
+                m = len(src)
+                for i in range(n_payload):
+                    v = src[i] if i < m else None
+                    if v is not None and kinds[i] == "s" and type(v) is not str:
+                        v = (
+                            "0x" + bytes(v).hex()
+                            if isinstance(v, (bytes, bytearray, memoryview))
+                            else str(v)
+                        )
+                    apps[i](v)
+                apps[n_payload](False)  # _deleted
+            g, es = self.effective_ids(gtid, event_seq)
+            meta_cols[0].extend([g] * k)
+            meta_cols[1].extend([es] * k)
+            meta_cols[2].extend(range(1, k + 1))
+            meta_cols[3].extend([file_seq] * k)
+            meta_cols[4].extend([hdr.log_pos] * k)
+            self.rows_emitted += k
+            return k
         ckey = (table_id, et, "t")
         hit = self._parser_cache.get(ckey)
         pos, n_cols, p1, p2 = rows_prelude(et, payload)

@@ -96,6 +96,17 @@ class TableSchema:
         return len(self.columns)
 
 
+class PartialJson:
+    """Marker for a partial-JSON after-image value: a list of
+    ``(op, path, value)`` diffs (op 0=REPLACE, 1=INSERT, 2=REMOVE; value
+    ignored for REMOVE)."""
+
+    __slots__ = ("diffs",)
+
+    def __init__(self, diffs: list):
+        self.diffs = list(diffs)
+
+
 # convenience constructors -------------------------------------------------
 
 
@@ -304,6 +315,49 @@ class EventWriter:
 
     def write_rows(self, table_id: int, schema: TableSchema, rows: list):
         return self._rows_event(30, table_id, schema, rows)
+
+    def partial_update_rows(self, table_id: int, schema: TableSchema, pairs: list):
+        """PARTIAL_UPDATE_ROWS_EVENT (39, binlog_row_value_options=
+        PARTIAL_JSON).  ``pairs``: (before_values, after_values) where JSON
+        columns in the after image may be :class:`PartialJson` — those are
+        encoded as diff sequences with their partial bit set.  Layout per
+        row: before image, lenenc value_options, partial_bits (one bit per
+        JSON column when the PARTIAL_JSON bit is set), after image."""
+        from .mysql_json import encode_json_diff
+
+        n = schema.column_count
+        json_cols = [
+            i for i, c in enumerate(schema.columns) if c.type_code == ColumnType.JSON
+        ]
+        payload = bytearray()
+        payload += table_id.to_bytes(6, "little")
+        payload += (0).to_bytes(2, "little")  # flags
+        payload += (2).to_bytes(2, "little")  # v2 extra-data length
+        payload += write_lenenc(n)
+        present = bytes([0xFF] * ((n + 7) // 8))
+        payload += present + present  # before + after presence bitmaps
+        for before, after in pairs:
+            payload += self._row_image(schema, before)
+            payload += write_lenenc(1)  # value_options: PARTIAL_JSON
+            pbits = bytearray((len(json_cols) + 7) // 8)
+            for j, i in enumerate(json_cols):
+                if isinstance(after[i], PartialJson):
+                    pbits[j // 8] |= 1 << (j % 8)
+            payload += pbits
+            # after image with diff-encoded partial JSON columns
+            nullmap = bytearray((n + 7) // 8)
+            body = bytearray()
+            for i, (spec, val) in enumerate(zip(schema.columns, after)):
+                if val is None:
+                    nullmap[i // 8] |= 1 << (i % 8)
+                elif isinstance(val, PartialJson):
+                    raw = encode_json_diff(val.diffs)
+                    nb = spec.meta or 4
+                    body += len(raw).to_bytes(nb, "little") + raw
+                else:
+                    body += encode_value(spec, val)
+            payload += bytes(nullmap) + bytes(body)
+        return self._emit(39, bytes(payload))
 
     def update_rows(self, table_id: int, schema: TableSchema, pairs: list):
         """pairs: list of (before_values, after_values)."""

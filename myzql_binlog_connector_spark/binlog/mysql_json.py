@@ -281,3 +281,56 @@ def _encode_array(arr: list) -> bytes:
 def encode_json_opaque_decimal(value: str, precision: int, scale: int) -> bytes:
     payload = bytes([precision, scale]) + encode_decimal(value, precision, scale)
     return bytes([J_OPAQUE, 246]) + _write_jvarlen(len(payload)) + payload
+
+
+# ---------------------------------------------------------------------------
+# partial-JSON diffs (PARTIAL_UPDATE_ROWS_EVENT, binlog_row_value_options=
+# PARTIAL_JSON).  Public MySQL 8 layout (sql/json_diff.cc write format):
+# each diff = 1B operation (0=REPLACE, 1=INSERT, 2=REMOVE), lenenc path
+# length + path bytes, and for REPLACE/INSERT a lenenc value length +
+# binary-JSON value document.
+# ---------------------------------------------------------------------------
+
+DIFF_REPLACE = 0
+DIFF_INSERT = 1
+DIFF_REMOVE = 2
+
+_DIFF_NAMES = {DIFF_REPLACE: "replace", DIFF_INSERT: "insert", DIFF_REMOVE: "remove"}
+
+
+def decode_json_diff(data: bytes | memoryview) -> str:
+    """Decode a partial-JSON diff sequence into the engine's envelope
+    representation: ``{"$partial": [{"op": "replace", "path": "$.k",
+    "value": ...}, ...]}`` (REMOVE entries carry no "value").  The wrapper
+    makes partial updates distinguishable from full JSON values downstream
+    while staying valid JSON."""
+    mv = memoryview(data)
+    pos = 0
+    ops = []
+    while pos < len(mv):
+        op = mv[pos]
+        pos += 1
+        plen, pos = read_lenenc(mv, pos)
+        path = str(mv[pos : pos + plen], "utf-8", "replace")
+        pos += plen
+        entry = {"op": _DIFF_NAMES.get(op, str(op)), "path": path}
+        if op != DIFF_REMOVE:
+            vlen, pos = read_lenenc(mv, pos)
+            entry["value"] = json.loads(decode_json(mv[pos : pos + vlen]))
+            pos += vlen
+        ops.append(entry)
+    return json.dumps({"$partial": ops}, ensure_ascii=False, separators=(",", ":"))
+
+
+def encode_json_diff(diffs: list) -> bytes:
+    """Encode ``[(op, path, value_or_None), ...]`` as a diff sequence
+    (generator-side mirror of :func:`decode_json_diff`)."""
+    out = bytearray()
+    for op, path, value in diffs:
+        out += bytes([op])
+        raw_path = path.encode("utf-8")
+        out += write_lenenc(len(raw_path)) + raw_path
+        if op != DIFF_REMOVE:
+            doc = encode_json_value(value)
+            out += write_lenenc(len(doc)) + doc
+    return bytes(out)

@@ -271,18 +271,25 @@ def write_segments_parquet(stream: GeneratedStream, out_dir: str) -> list[str]:
     from .binlog.decoder import parse_table_map
     from .binlog.wire import parse_header
 
-    descs = set()
+    descs = {}
     for _fs, rows in stream.segments:
         for _off, _g, _es, pkt in rows:
             body = memoryview(pkt)[1 : len(pkt) - CRC_LEN]
             if parse_header(body).event_type == EventType.TABLE_MAP:
                 _tid, schema = parse_table_map(body[HEADER_LEN:])
-                descs.add(
-                    json.dumps(
-                        [[c.type_code, c.meta, int(c.nullable)] for c in schema.columns],
-                        separators=(",", ":"),
-                    )
+                desc = json.dumps(
+                    [[c.type_code, c.meta, int(c.nullable)] for c in schema.columns],
+                    separators=(",", ":"),
                 )
+                descs[(schema.database, schema.table, desc)] = None
     with open(os.path.join(out_dir, "_schemas.json"), "w") as f:
-        json.dump(sorted(descs), f)
+        # v2 sidecar carries (database, table) so readers can honor a
+        # table filter when building the typed-extraction schema
+        json.dump(
+            [
+                {"database": d, "table": t, "desc": s}
+                for d, t, s in sorted(descs)
+            ],
+            f,
+        )
     return paths

@@ -145,6 +145,53 @@ def events_cdc_stream(spark: SparkSession, sf_dir: str, n_segments: int = 3) -> 
     return _events_df_from_writer(spark, writers)
 
 
+EVENTS_JSON_SCHEMA = TableSchema(
+    database="app",
+    table="events_json",
+    columns=(
+        ColumnSpec(ColumnType.LONGLONG, 0, False),  # event_id
+        ColumnSpec(ColumnType.JSON, 4),             # payload
+    ),
+    column_names=("event_id", "payload"),
+)
+
+
+def events_partial_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL_UPDATE_ROWS(39) stream (pure function of the events table):
+    INSERT ``{"t": event_type, "v": user_id}`` docs, then a partial-JSON
+    update for every event_id % 5 == 0 row — REPLACE $.v, plus REMOVE $.t
+    (% 3) and INSERT $.x (% 4) to cover all three diff operations."""
+    from .binlog.encoder import PartialJson
+
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    ).to_pylist()
+    inserts = [
+        (r["event_id"], {"t": r["event_type"], "v": r["user_id"]}) for r in tbl
+    ]
+    partials = []
+    for r in tbl:
+        if r["event_id"] % 5:
+            continue
+        diffs = [(0, "$.v", r["user_id"] * 2)]
+        if r["event_id"] % 3 == 0:
+            diffs.append((2, "$.t", None))
+        if r["event_id"] % 4 == 0:
+            diffs.append((1, "$.x", "p"))
+        before = (r["event_id"], {"t": r["event_type"], "v": r["user_id"]})
+        partials.append((before, (r["event_id"], PartialJson(diffs))))
+
+    w = EventWriter(server_id=1)
+    w.format_description()
+    w.table_map(9, EVENTS_JSON_SCHEMA)
+    for i in range(0, len(inserts), 80):
+        w.write_rows(9, EVENTS_JSON_SCHEMA, inserts[i : i + 80])
+    for i in range(0, len(partials), 80):
+        w.partial_update_rows(9, EVENTS_JSON_SCHEMA, partials[i : i + 80])
+    w.rotate("binlog.000002")
+    return _events_df_from_writer(spark, [w])
+
+
 def typed_final_state(
     envelope: DataFrame,
     schema: TableSchema,

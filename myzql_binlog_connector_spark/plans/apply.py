@@ -89,6 +89,23 @@ def payload_struct_from_descs(descs: list[str]) -> T.StructType:
     )
 
 
+def utc_timestamp_col(name: str):
+    """Parse an engine envelope timestamp string (UTC wall time, the
+    decoder's contract) into TimestampType pinned to UTC regardless of
+    ``spark.sql.session.timeZone``: a plain cast would interpret the wall
+    time in the session zone and silently shift every value for non-UTC
+    consumers."""
+    return F.expr(
+        f"from_utc_timestamp(cast(`{name}` as timestamp), current_timezone())"
+    )
+
+
+def _desc_matches(table_filter, database: str | None, table: str | None) -> bool:
+    if table_filter is None or database is None or table is None:
+        return True
+    return bool(table_filter(database, table))
+
+
 class TranscriptsApplier:
     """Apply decoded transcript changes into a BucketedLakeTable.
 
@@ -140,28 +157,72 @@ class TranscriptsApplier:
         if not descs:
             descs = ["[]"]
         struct = payload_struct_from_descs(descs)
+        # TIMESTAMP columns parse as strings first, then pin to UTC —
+        # from_json with TimestampType would use the session time zone
+        parse_struct = T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    T.StringType() if isinstance(f.dataType, T.TimestampType) else f.dataType,
+                    True,
+                )
+                for f in struct.fields
+            ]
+        )
+
+        def typed(col, field: T.StructField):
+            if isinstance(field.dataType, T.TimestampType):
+                return F.from_utc_timestamp(
+                    col.cast("timestamp"), F.expr("current_timezone()")
+                )
+            return col
 
         df = envelope.withColumn(
-            "_after", F.from_json("after_values", struct)
-        ).withColumn("_before", F.from_json("before_values", struct))
+            "_after", F.from_json("after_values", parse_struct)
+        ).withColumn("_before", F.from_json("before_values", parse_struct))
 
-        cols = []
-        for i, field in enumerate(struct.fields):
-            name = self._name_for(i)
-            cols.append(
-                F.coalesce(F.col(f"_after.c{i}"), F.col(f"_before.c{i}")).alias(name)
-                if i in self.key_positions
-                else F.col(f"_after.c{i}").alias(name)
-            )
-        return df.select(
-            *cols,
-            (F.col("dml_type") == F.lit("DELETE")).alias("_deleted"),
+        meta_cols = [
             F.col("gtid").alias("_gtid"),
             F.col("event_seq").alias("_event_seq"),
             F.col("event_row_index").alias("_event_row_index"),
             F.col("file_seq").alias("_file_seq"),
             F.col("log_pos").alias("_log_pos"),
+        ]
+        cols = []
+        for i, field in enumerate(struct.fields):
+            name = self._name_for(i)
+            src = (
+                F.coalesce(F.col(f"_after.c{i}"), F.col(f"_before.c{i}"))
+                if i in self.key_positions
+                else F.col(f"_after.c{i}")
+            )
+            cols.append(typed(src, field).alias(name))
+        base = df.select(
+            *cols,
+            (F.col("dml_type") == F.lit("DELETE")).alias("_deleted"),
+            *meta_cols,
         )
+
+        # a PK-changing UPDATE upserts the new key but would leave the
+        # old-key row live forever: emit an extra tombstone for the before
+        # key (same ordering triple — it cannot collide with the upsert,
+        # which lives under the new key)
+        key_change = F.col("dml_type") == F.lit("UPDATE")
+        diff = F.lit(False)
+        for i in self.key_positions:
+            diff = diff | ~F.col(f"_before.c{i}").eqNullSafe(F.col(f"_after.c{i}"))
+        tomb_src = df.filter(key_change & diff & F.col("before_values").isNotNull())
+        tcols = []
+        for i, field in enumerate(struct.fields):
+            name = self._name_for(i)
+            src = (
+                F.col(f"_before.c{i}")
+                if i in self.key_positions
+                else F.lit(None).cast(parse_struct.fields[i].dataType)
+            )
+            tcols.append(typed(src, field).alias(name))
+        tombstones = tomb_src.select(*tcols, F.lit(True).alias("_deleted"), *meta_cols)
+        return base.unionByName(tombstones)
 
     def apply_files(
         self,
@@ -185,10 +246,20 @@ class TranscriptsApplier:
         sidecar = os.path.join(os.path.dirname(paths[0]), "_schemas.json")
         if os.path.exists(sidecar):
             with open(sidecar) as f:
-                descs = json.load(f)
+                entries = json.load(f)
+            # v2 sidecar: [{"database","table","desc"}]; v1: bare desc strings
+            descs = [
+                e["desc"] if isinstance(e, dict) else e
+                for e in entries
+                if not isinstance(e, dict)
+                or _desc_matches(table_filter, e.get("database"), e.get("table"))
+            ]
         else:
-            raw = self.spark.read.parquet(*paths)
-            descs = [r["payload_schema"] for r in scan_schemas(raw).collect()]
+            descs = [
+                r["payload_schema"]
+                for r in scan_schemas(self.spark.read.parquet(*paths)).collect()
+                if _desc_matches(table_filter, r["database"], r["table_name"])
+            ]
         if not descs:
             return {"batch_id": batch_id, "skipped": True, "input_rows": 0}
         struct = payload_struct_from_descs(descs)
@@ -204,9 +275,13 @@ class TranscriptsApplier:
             stop_position=stop_position,
         )
         # cast payload columns to their exact Spark types (string→timestamp,
-        # int64→int, string→decimal, …) — one JVM cast per column
+        # int64→int, string→decimal, …) — one JVM cast per column; TIMESTAMP
+        # strings are UTC wall times and must not pass through the session TZ
         for name, field in zip(names, struct.fields):
-            typed = typed.withColumn(name, F.col(name).cast(field.dataType))
+            if isinstance(field.dataType, T.TimestampType):
+                typed = typed.withColumn(name, utc_timestamp_col(name))
+            else:
+                typed = typed.withColumn(name, F.col(name).cast(field.dataType))
         return self._merge_typed(typed, batch_id)
 
     def _merge_typed(self, typed: DataFrame, batch_id: int | None) -> dict:

@@ -52,14 +52,15 @@ class IcebergApplier:
 
     def __init__(
         self,
-        spark: SparkSession,
+        spark: SparkSession | None,
         table: str,  # e.g. "cat.db.transcripts"
         key_cols: list[str] = ("conv_id", "turn_idx"),
     ):
         self.spark = spark
         self.table = table
         self.key_cols = list(key_cols)
-        _require_iceberg(spark, table.split(".")[0])
+        if spark is not None:  # None → SQL-text-only mode (golden tests)
+            _require_iceberg(spark, table.split(".")[0])
 
     def ensure_table(self, typed: DataFrame, partition_by: str | None = None):
         payload_cols = [
@@ -87,44 +88,129 @@ class IcebergApplier:
                     f"ALTER TABLE {self.table} ALTER COLUMN {f.name} TYPE {t}"
                 )
 
-    def apply_batch(self, typed: DataFrame, batch_id: int | None = None) -> dict:
-        """LWW MERGE of a typed change batch (same input as
-        TranscriptsApplier._merge_typed).  Pre-reduces the batch per key
-        (max_by), then a single MERGE INTO."""
-        from pyspark.sql import functions as F
+    # -- SQL builders (pure text; golden-tested without an Iceberg runtime) --
 
-        self.ensure_table(typed)
-        self.evolve(typed)
-
+    def merge_sql(self, columns: list[str]) -> str:
+        """LWW MERGE statement for a pre-reduced change batch."""
         order = ["_gtid", "_event_seq", "_event_row_index"]
-        row_struct = F.struct(*[F.col(c) for c in typed.columns])
-        ord_struct = F.struct(*[F.col(c) for c in order])
-        best = (
-            typed.groupBy(*self.key_cols)
-            .agg(F.max_by(row_struct, ord_struct).alias("_r"))
-            .select("_r.*")
-        )
-        best.createOrReplaceTempView("_changes_batch")
-
         on = " AND ".join(f"t.{k} = s.{k}" for k in self.key_cols)
-        payload_cols = [c for c in typed.columns if not c.startswith("_")] + order
+        payload_cols = [c for c in columns if not c.startswith("_")] + order
         set_sql = ", ".join(f"t.{c} = s.{c}" for c in payload_cols)
         insert_cols = ", ".join(payload_cols)
         insert_vals = ", ".join(f"s.{c}" for c in payload_cols)
-        # gtid guard = idempotence under redelivery: older/equal changes
-        # never overwrite newer applied state
+        # gtid guard = idempotence under same-batch redelivery: older/equal
+        # changes never overwrite newer applied state
         guard = (
             "(s._gtid, s._event_seq, s._event_row_index) > "
             "(t._gtid, t._event_seq, t._event_row_index)"
         )
-        self.spark.sql(
-            f"""
-            MERGE INTO {self.table} t
-            USING _changes_batch s
-            ON {on}
-            WHEN MATCHED AND s._deleted AND {guard} THEN DELETE
-            WHEN MATCHED AND NOT s._deleted AND {guard} THEN UPDATE SET {set_sql}
-            WHEN NOT MATCHED AND NOT s._deleted THEN INSERT ({insert_cols}) VALUES ({insert_vals})
-            """
+        return (
+            f"MERGE INTO {self.table} t\n"
+            "USING _changes_batch s\n"
+            f"ON {on}\n"
+            f"WHEN MATCHED AND s._deleted AND {guard} THEN DELETE\n"
+            f"WHEN MATCHED AND NOT s._deleted AND {guard} THEN UPDATE SET {set_sql}\n"
+            f"WHEN NOT MATCHED AND NOT s._deleted THEN INSERT ({insert_cols}) "
+            f"VALUES ({insert_vals})"
         )
-        return {"batch_id": batch_id, "table": self.table}
+
+    def wm_table(self) -> str:
+        return f"{self.table}_wm"
+
+    def wm_create_sql(self) -> str:
+        return (
+            f"CREATE TABLE IF NOT EXISTS {self.wm_table()} "
+            "(file_seq int, log_pos bigint, event_row_index bigint) USING iceberg"
+        )
+
+    def wm_merge_sql(self) -> str:
+        """Upsert per-file_seq watermarks after a data commit."""
+        return (
+            f"MERGE INTO {self.wm_table()} t\n"
+            "USING _wm_batch s\n"
+            "ON t.file_seq = s.file_seq\n"
+            "WHEN MATCHED AND (s.log_pos, s.event_row_index) > "
+            "(t.log_pos, t.event_row_index) "
+            "THEN UPDATE SET t.log_pos = s.log_pos, "
+            "t.event_row_index = s.event_row_index\n"
+            "WHEN NOT MATCHED THEN INSERT (file_seq, log_pos, event_row_index) "
+            "VALUES (s.file_seq, s.log_pos, s.event_row_index)"
+        )
+
+    # -- runtime ----------------------------------------------------------
+
+    def _gate_redelivered(self, typed: DataFrame) -> DataFrame:
+        """Drop rows at-or-below the stored per-file_seq watermark.
+
+        Without this gate a DELETE followed by a redelivery of the *older*
+        batch containing the original INSERT would resurrect the row
+        through WHEN NOT MATCHED — the per-row gtid guard only protects
+        matched rows.  Watermarks are written after the data commit; a
+        crash between the two re-merges only the last batch, which the
+        batch-internal max_by pre-reduce + gtid guard keep idempotent."""
+        from pyspark.sql import functions as F
+
+        try:
+            wm = self.spark.table(self.wm_table())
+        except Exception:
+            return typed
+        wm = wm.select(
+            F.col("file_seq").alias("wm_file_seq"),
+            F.col("log_pos").alias("wm_log_pos"),
+            F.col("event_row_index").alias("wm_eri"),
+        )
+        joined = typed.join(
+            F.broadcast(wm), typed["_file_seq"] == wm["wm_file_seq"], "left"
+        )
+        keep = (
+            F.col("wm_log_pos").isNull()
+            | (F.col("_log_pos") > F.col("wm_log_pos"))
+            | (
+                (F.col("_log_pos") == F.col("wm_log_pos"))
+                & (F.col("_event_row_index") > F.col("wm_eri"))
+            )
+        )
+        return joined.filter(keep).drop("wm_file_seq", "wm_log_pos", "wm_eri")
+
+    def apply_batch(self, typed: DataFrame, batch_id: int | None = None) -> dict:
+        """LWW MERGE of a typed change batch (same input as
+        TranscriptsApplier._merge_typed): watermark-gate redelivered rows,
+        pre-reduce per key (max_by), one MERGE INTO, then commit the new
+        watermarks to the side table."""
+        from pyspark.sql import functions as F
+
+        self.ensure_table(typed)
+        self.evolve(typed)
+        self.spark.sql(self.wm_create_sql())
+
+        fresh = self._gate_redelivered(typed).persist()
+        try:
+            wm_rows = (
+                fresh.groupBy("_file_seq")
+                .agg(F.max(F.struct("_log_pos", "_event_row_index")).alias("mx"))
+                .collect()
+            )
+            if not wm_rows:
+                return {"batch_id": batch_id, "table": self.table, "skipped": True}
+            order = ["_gtid", "_event_seq", "_event_row_index"]
+            row_struct = F.struct(*[F.col(c) for c in fresh.columns])
+            ord_struct = F.struct(*[F.col(c) for c in order])
+            best = (
+                fresh.groupBy(*self.key_cols)
+                .agg(F.max_by(row_struct, ord_struct).alias("_r"))
+                .select("_r.*")
+            )
+            best.createOrReplaceTempView("_changes_batch")
+            self.spark.sql(self.merge_sql(fresh.columns))
+
+            self.spark.createDataFrame(
+                [
+                    (int(r["_file_seq"]), int(r["mx"]["_log_pos"]), int(r["mx"]["_event_row_index"]))
+                    for r in wm_rows
+                ],
+                "file_seq int, log_pos bigint, event_row_index bigint",
+            ).createOrReplaceTempView("_wm_batch")
+            self.spark.sql(self.wm_merge_sql())
+            return {"batch_id": batch_id, "table": self.table}
+        finally:
+            fresh.unpersist()
