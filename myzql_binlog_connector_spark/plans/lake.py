@@ -13,18 +13,20 @@ Design for 100 TB:
 
   * **Hash-bucket layout** — rows live in ``data/bucket=K/`` by
     ``pmod(hash(key), n_buckets)``.  A merge touches only the buckets that
-    contain changed keys: the join between the change batch and the table is
-    co-located by construction (both sides bucketed on the key), and
-    untouched buckets are carried forward by manifest reference — zero
-    read/write amplification on cold data.
-  * **Tombstoned LWW merge-on-write** — every row carries
-    ``(_gtid, _event_seq, _event_row_index, _deleted)``.  A merge is
-    union(existing, changes) → last-writer-wins window per key → rewrite
-    dirty buckets.  DELETEs persist as tombstones, which makes the merge
-    **idempotent and commutative under redelivery**: replaying an old
-    micro-batch cannot resurrect a deleted row because the tombstone still
-    outranks it.  Tombstones older than the low watermark are dropped at
-    compaction.
+    contain changed keys; untouched buckets are carried forward by manifest
+    reference — zero read/write amplification on cold data.
+  * **Tombstoned LWW, merge-on-read** — every row carries
+    ``(_gtid, _event_seq, _event_row_index, _deleted)``.  A merge *appends*
+    the (batch-reduced) change rows as new files in their buckets — write
+    cost is O(batch), never O(bucket) — and readers resolve last-writer-wins
+    per key over the union of a bucket's files.  When a bucket accumulates
+    more than ``max_files_per_bucket`` files, the merge commit folds that
+    bucket (local compaction) so read amplification stays bounded; a fully
+    folded table reads with no LWW shuffle at all.  DELETEs persist as
+    tombstones, which makes the merge **idempotent and commutative under
+    redelivery**: replaying an old micro-batch cannot resurrect a deleted
+    row because the tombstone still outranks it.  Tombstones older than the
+    low watermark are dropped at compaction.
   * **Atomic commits** — a commit writes new data files, then a new
     manifest, then atomically swaps the ``LATEST`` pointer (os.replace).
     Readers resolve ``LATEST`` once and read an immutable snapshot.
@@ -67,11 +69,25 @@ def _widened(old: str, new: str) -> str | None:
 
 
 class BucketedLakeTable:
-    def __init__(self, spark: SparkSession, path: str, key_cols: list[str], n_buckets: int = 16):
+    """``n_buckets`` sizing: aim for ~0.5–2 GB of live data per bucket, so a
+    100 TB table wants tens of thousands of buckets; the sandbox default is
+    small only because test tables are.  ``max_files_per_bucket`` bounds
+    merge-on-read amplification: a bucket is folded (locally compacted)
+    inside the merge commit once it would exceed this many delta files."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: list[str],
+        n_buckets: int = 64,
+        max_files_per_bucket: int = 8,
+    ):
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
+        self.max_files_per_bucket = max_files_per_bucket
 
     # ------------------------------------------------------------------
     # manifest plumbing
@@ -126,21 +142,46 @@ class BucketedLakeTable:
         schema = StructType.fromJson(json.loads(schema_json))
         if not files:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(*files)
-        # align historical files to the current (possibly evolved) schema:
-        # missing columns null-padded, narrower numerics cast up
-        for f_ in schema.fields:
-            if f_.name not in df.columns:
-                df = df.withColumn(f_.name, F.lit(None).cast(f_.dataType))
-            else:
-                df = df.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
-        return df.select(*[f_.name for f_ in schema.fields])
+        # read with the EXPLICIT current schema: a bucket holds files from
+        # several commits whose physical schemas may differ (merge-on-read +
+        # evolution); schema-on-read null-pads missing columns and promotes
+        # narrower numerics per file — plain spark.read.parquet would pin one
+        # file's schema and silently drop newer columns
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def _lww(self, df: DataFrame, schema: StructType) -> DataFrame:
+        """Resolve last-writer-wins per key (merge-on-read).  max_by hash
+        aggregate — map-side partial aggregation, no ranking window."""
+        row_struct = F.struct(*[F.col(f_.name) for f_ in schema.fields])
+        ord_struct = F.struct(F.col("_gtid"), F.col("_event_seq"), F.col("_event_row_index"))
+        return (
+            df.groupBy(*self.key_cols)
+            .agg(F.max_by(row_struct, ord_struct).alias("_row"))
+            .select("_row.*")
+        )
 
     def read(self, include_tombstones: bool = False, include_meta: bool = False) -> DataFrame:
-        """Current snapshot as a DataFrame (live rows, payload columns)."""
+        """Current snapshot as a DataFrame (live rows, payload columns).
+
+        Buckets with a single (folded) file hold one version per key by
+        construction and union in with no shuffle; only multi-file buckets
+        pay the LWW aggregate.  Keys hash to exactly one bucket, so the
+        aggregate over the multi-file union is bucket-local-correct."""
         m = self._read_manifest()
-        files = [p for fl in m["files"].values() for p in fl]
-        df = self._read_files(files, m["schema"])
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        single, multi = [], []
+        for fl in m["files"].values():
+            (multi if len(fl) > 1 else single).extend(fl)
+        parts = []
+        if single:
+            parts.append(self._read_files(single, m["schema"]))
+        if multi:
+            parts.append(self._lww(self._read_files(multi, m["schema"]), schema))
+        if not parts:
+            parts = [self._read_files([], m["schema"])]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         if not include_tombstones:
             df = df.filter(~F.col("_deleted"))
         if not include_meta:
@@ -225,31 +266,25 @@ class BucketedLakeTable:
         n_changes = int(sum(r["count"] for r in bucket_counts))
         dirty = sorted(r["b"] for r in bucket_counts)
         old_files = (m or {}).get("files", {})
-        existing_files = [p for b in dirty for p in old_files.get(str(b), [])]
-        existing = self._read_files(existing_files, schema_json) if m else None
 
-        # --- LWW reduce: one max_by hash aggregate, NOT a ranking window ---
-        # map-side partial aggregation pre-reduces hot keys inside each task
-        # before the shuffle, so conv_id skew never concentrates on one
-        # reducer (stronger than salting, which is still available as the
-        # lww_dedup_salted operator for window-based flows).  order_cols is
-        # a unique triple per change row, so the lexicographic struct max is
-        # deterministic.
-        merged = changes if existing is None else existing.unionByName(changes)
+        # --- merge-on-read append: batch-reduce, then write ONLY the batch --
+        # The LWW max_by hash aggregate pre-reduces map-side (hot keys never
+        # concentrate on one reducer); existing bucket data is NOT read or
+        # rewritten — write cost is O(batch), readers resolve LWW across a
+        # bucket's files, and the fold below bounds how many there can be.
         row_struct = F.struct(*[F.col(f_.name) for f_ in schema.fields])
         ord_struct = F.struct(*[F.col(c) for c in order_cols])
-        final = (
-            merged.groupBy(*self.key_cols)
+        reduced = (
+            changes.groupBy(*self.key_cols)
             .agg(F.max_by(row_struct, ord_struct).alias("_row"))
             .select("_row.*")
             .withColumn("_bucket", bucket_expr)
         )
 
-        # --- write dirty buckets ---------------------------------------------
         version = (m["version"] + 1) if m else 1
         out_dir = os.path.join(self.path, "data", f"v{version}")
         (
-            final.repartition(max(len(dirty), 1), "_bucket")
+            reduced.repartition(max(len(dirty), 1), "_bucket")
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(out_dir)
@@ -266,8 +301,33 @@ class BucketedLakeTable:
                 if os.path.isdir(bdir)
                 else []
             )
-            new_files[str(b)] = parts
+            new_files[str(b)] = old_files.get(str(b), []) + parts
             written.extend(parts)
+
+        # --- bounded read amplification: fold over-threshold buckets --------
+        folded = [
+            b for b in dirty if len(new_files[str(b)]) > self.max_files_per_bucket
+        ]
+        if folded:
+            fold_files = [p for b in folded for p in new_files[str(b)]]
+            fold_df = self._lww(self._read_files(fold_files, schema_json), schema)
+            fold_dir = os.path.join(self.path, "data", f"v{version}_fold")
+            (
+                fold_df.withColumn("_bucket", bucket_expr)
+                .repartition(len(folded), "_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(fold_dir)
+            )
+            for b in folded:
+                bdir = os.path.join(fold_dir, f"_bucket={b}")
+                parts = (
+                    [os.path.join(bdir, x) for x in os.listdir(bdir) if x.endswith(".parquet")]
+                    if os.path.isdir(bdir)
+                    else []
+                )
+                new_files[str(b)] = parts
+                written.extend(parts)
 
         bytes_written = sum(os.path.getsize(p) for p in written)
         record = {
@@ -275,6 +335,7 @@ class BucketedLakeTable:
             "batch_id": batch_id,
             "input_rows": n_changes,
             "dirty_buckets": dirty,
+            "buckets_folded": folded,
             "files_written": len(written),
             "bytes_written": bytes_written,
             "schema_evolution": evolution,
@@ -307,24 +368,60 @@ class BucketedLakeTable:
     # maintenance
     # ------------------------------------------------------------------
 
-    def compact(self, drop_tombstones_below: tuple | None = None) -> dict:
-        """Rewrite all buckets (bin-packing small files); optionally GC
-        tombstones whose (_gtid) is below the given low watermark."""
+    def compact(
+        self,
+        drop_tombstones_below: tuple | None = None,
+        buckets: list[int] | None = None,
+        small_file_bytes: int = 32 * 1024 * 1024,
+    ) -> dict:
+        """Incremental compaction: fold multi-file buckets and bin-pack
+        small files, rewriting ONLY the selected buckets (others are carried
+        forward by manifest reference — at 100 TB a compaction pass must
+        never touch cold, already-folded data).
+
+        Bucket selection: explicit ``buckets``, else any bucket with more
+        than one file or a file under ``small_file_bytes``.  With
+        ``drop_tombstones_below`` (tombstone GC below the low watermark),
+        every non-empty bucket is selected — GC must visit all data."""
         m = self._read_manifest()
-        df = self.read(include_tombstones=True, include_meta=True)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        old_files = m["files"]
+
+        if buckets is not None:
+            targets = [b for b in buckets if old_files.get(str(b))]
+        elif drop_tombstones_below is not None:
+            targets = [int(b) for b, fl in old_files.items() if fl]
+        else:
+            def needs(fl: list[str]) -> bool:
+                if len(fl) > 1:
+                    return True
+                return any(
+                    os.path.exists(p) and os.path.getsize(p) < small_file_bytes
+                    for p in fl
+                )
+
+            targets = [int(b) for b, fl in old_files.items() if fl and needs(fl)]
+        targets = sorted(targets)
+        if not targets:
+            return {"version": m["version"], "compacted_buckets": []}
+
+        target_files = [p for b in targets for p in old_files[str(b)]]
+        df = self._lww(self._read_files(target_files, m["schema"]), schema)
         if drop_tombstones_below is not None:
-            df = df.filter((~F.col("_deleted")) | (F.col("_gtid") >= F.lit(drop_tombstones_below[0])))
-        if "_bucket" not in df.columns:
-            df = df.withColumn(
-                "_bucket", F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets))
+            df = df.filter(
+                (~F.col("_deleted")) | (F.col("_gtid") >= F.lit(drop_tombstones_below[0]))
             )
+        df = df.withColumn(
+            "_bucket",
+            F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)),
+        )
         version = m["version"] + 1
         out_dir = os.path.join(self.path, "data", f"v{version}")
-        df.repartition(self.n_buckets, "_bucket").write.mode("overwrite").partitionBy(
+        df.repartition(len(targets), "_bucket").write.mode("overwrite").partitionBy(
             "_bucket"
         ).parquet(out_dir)
-        files = {}
-        for b in range(self.n_buckets):
+        files = dict(old_files)
+        for b in targets:
             bdir = os.path.join(out_dir, f"_bucket={b}")
             files[str(b)] = (
                 [os.path.join(bdir, x) for x in os.listdir(bdir) if x.endswith(".parquet")]
@@ -333,6 +430,8 @@ class BucketedLakeTable:
             )
         m["version"] = version
         m["files"] = files
-        m["lineage"] = m.get("lineage", []) + [{"version": version, "compaction": True}]
+        m["lineage"] = m.get("lineage", []) + [
+            {"version": version, "compaction": True, "compacted_buckets": targets}
+        ]
         self._commit(m)
-        return {"version": version}
+        return {"version": version, "compacted_buckets": targets}

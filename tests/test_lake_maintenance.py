@@ -1,17 +1,144 @@
-"""Lake-table maintenance: compaction, tombstone GC, watermarks, lineage."""
+"""Scale-safety tests for BucketedLakeTable's merge-on-read layout:
+O(batch) write amplification, bounded per-bucket file counts (fold), and
+incremental compaction that only touches selected buckets."""
 
 from __future__ import annotations
 
+import tempfile
+
 import pytest
 
-from pyspark.sql import functions as F
 
-from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+def _mk_changes(spark, rows):
+    """rows: list of (conv_id, turn_idx, text, gtid, deleted)."""
+    data = [
+        (c, t, x, bool(d), g, g, 1)
+        for (c, t, x, g, d) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "conv_id string, turn_idx bigint, text string, _deleted boolean, "
+        "_gtid bigint, _event_seq bigint, _event_row_index bigint",
+    )
 
 
 @pytest.fixture()
 def table(spark, tmp_path):
-    t = BucketedLakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4)
+    from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+    return BucketedLakeTable(
+        spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=8,
+        max_files_per_bucket=3,
+    )
+
+
+class TestMergeOnRead:
+    def test_single_key_batch_touches_one_bucket(self, spark, table):
+        base = _mk_changes(
+            spark, [(f"c{i}", 0, f"v{i}", 1, False) for i in range(100)]
+        )
+        table.merge(base, batch_id=0)
+        m0 = table.snapshot_manifest()
+        before_files = {b: list(fl) for b, fl in m0["files"].items()}
+
+        rec = table.merge(
+            _mk_changes(spark, [("c1", 0, "v1b", 2, False)]), batch_id=1
+        )
+        assert len(rec["dirty_buckets"]) == 1
+        dirty = str(rec["dirty_buckets"][0])
+        m1 = table.snapshot_manifest()
+        # every other bucket's file list is byte-identical (carried by ref)
+        for b, fl in m1["files"].items():
+            if b == dirty:
+                assert fl[: len(before_files[b])] == before_files[b]
+                assert len(fl) == len(before_files[b]) + 1  # one delta appended
+            else:
+                assert fl == before_files.get(b, [])
+        # and the write was O(batch): exactly the new delta file(s)
+        assert rec["files_written"] == 1
+
+    def test_lww_resolves_across_delta_files(self, spark, table):
+        table.merge(_mk_changes(spark, [("k", 0, "v1", 1, False)]), batch_id=0)
+        table.merge(_mk_changes(spark, [("k", 0, "v2", 2, False)]), batch_id=1)
+        table.merge(_mk_changes(spark, [("k", 0, "v3", 3, False)]), batch_id=2)
+        rows = table.read().collect()
+        assert [(r.conv_id, r.text) for r in rows] == [("k", "v3")]
+
+    def test_tombstone_across_files(self, spark, table):
+        table.merge(_mk_changes(spark, [("k", 0, "v1", 1, False)]), batch_id=0)
+        table.merge(_mk_changes(spark, [("k", 0, None, 2, True)]), batch_id=1)
+        assert table.read().count() == 0
+        # redelivered older insert cannot resurrect (tombstone outranks)
+        table.merge(_mk_changes(spark, [("k", 0, "v1", 1, False)]), batch_id=2)
+        assert table.read().count() == 0
+
+    def test_fold_bounds_file_count(self, spark, table):
+        for g in range(1, 7):
+            table.merge(
+                _mk_changes(spark, [("k", 0, f"v{g}", g, False)]), batch_id=g
+            )
+        m = table.snapshot_manifest()
+        for fl in m["files"].values():
+            assert len(fl) <= table.max_files_per_bucket
+        rows = table.read().collect()
+        assert [(r.conv_id, r.text) for r in rows] == [("k", "v6")]
+        # at least one fold happened along the way
+        assert any(r.get("buckets_folded") for r in m["lineage"])
+
+
+class TestIncrementalCompaction:
+    def test_compaction_touches_only_listed_buckets(self, spark, table):
+        table.merge(
+            _mk_changes(spark, [(f"c{i}", 0, f"v{i}", 1, False) for i in range(60)]),
+            batch_id=0,
+        )
+        table.merge(
+            _mk_changes(spark, [(f"c{i}", 0, f"w{i}", 2, False) for i in range(60)]),
+            batch_id=1,
+        )
+        m0 = table.snapshot_manifest()
+        all_buckets = [int(b) for b, fl in m0["files"].items() if fl]
+        target = all_buckets[0]
+        others = {str(b): list(m0["files"][str(b)]) for b in all_buckets[1:]}
+
+        rec = table.compact(buckets=[target])
+        assert rec["compacted_buckets"] == [target]
+        m1 = table.snapshot_manifest()
+        assert len(m1["files"][str(target)]) == 1
+        for b, fl in others.items():
+            assert m1["files"][b] == fl  # untouched, carried by reference
+        assert table.read().count() == 60
+
+    def test_auto_selection_skips_folded_buckets(self, spark, table):
+        table.merge(
+            _mk_changes(spark, [(f"c{i}", 0, f"v{i}", 1, False) for i in range(60)]),
+            batch_id=0,
+        )
+        table.compact()  # folds everything (single-file small buckets)
+        m0 = table.snapshot_manifest()
+        rec = table.compact(small_file_bytes=0)  # nothing multi-file or small
+        assert rec["compacted_buckets"] == []
+        assert table.snapshot_manifest()["version"] == m0["version"]
+
+    def test_tombstone_gc(self, spark, table):
+        table.merge(_mk_changes(spark, [("a", 0, "v", 1, False)]), batch_id=0)
+        table.merge(_mk_changes(spark, [("a", 0, None, 2, True)]), batch_id=1)
+        table.compact(drop_tombstones_below=(3,))
+        assert table.read(include_tombstones=True).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-1 maintenance coverage (tombstone GC, lineage, watermarks, metrics)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+@pytest.fixture()
+def table20(spark, tmp_path):
+    from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+    t = BucketedLakeTable(spark, str(tmp_path / "t20"), ["k"], n_buckets=4)
     df = spark.createDataFrame(
         [(i, f"v{i}", i % 2 == 0, i, 0, 1) for i in range(20)],
         "k bigint, val string, _deleted boolean, _gtid bigint, _event_seq bigint, _event_row_index bigint",
@@ -20,73 +147,63 @@ def table(spark, tmp_path):
     return t
 
 
-class TestMaintenance:
-    def test_tombstones_retained_then_gced(self, spark, table):
-        live = table.read()
-        assert live.count() == 10  # odd keys only (evens are tombstones)
-        with_tombs = table.read(include_tombstones=True, include_meta=True)
-        assert with_tombs.count() == 20
+def _chg(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "k bigint, val string, _deleted boolean, _gtid bigint, _event_seq bigint, _event_row_index bigint",
+    )
 
-        table.compact(drop_tombstones_below=(100,))  # all tombstones < gtid 100
-        after = table.read(include_tombstones=True, include_meta=True)
-        # live rows kept, tombstones dropped
+
+class TestMaintenance:
+    def test_tombstones_retained_then_gced(self, spark, table20):
+        assert table20.read().count() == 10  # odd keys only
+        assert table20.read(include_tombstones=True, include_meta=True).count() == 20
+        table20.compact(drop_tombstones_below=(100,))
+        after = table20.read(include_tombstones=True, include_meta=True)
         assert after.filter(~F.col("_deleted")).count() == 10
         assert after.filter(F.col("_deleted")).count() == 0
-        assert table.read().count() == 10
 
-    def test_compaction_preserves_state_and_bumps_version(self, spark, table):
-        before = {(r.k, r.val) for r in table.read().collect()}
-        v0 = table.snapshot_manifest()["version"]
-        table.compact()
-        assert table.snapshot_manifest()["version"] == v0 + 1
-        assert {(r.k, r.val) for r in table.read().collect()} == before
+    def test_compaction_preserves_state_and_bumps_version(self, spark, table20):
+        before = {(r.k, r.val) for r in table20.read().collect()}
+        v0 = table20.snapshot_manifest()["version"]
+        table20.compact()
+        assert table20.snapshot_manifest()["version"] == v0 + 1
+        assert {(r.k, r.val) for r in table20.read().collect()} == before
 
-    def test_lineage_records_commits(self, spark, table):
-        lin = table.lineage()
-        assert lin and lin[-1]["version"] == table.snapshot_manifest()["version"]
+    def test_lineage_records_commits(self, spark, table20):
+        lin = table20.lineage()
+        assert lin and lin[-1]["version"] == table20.snapshot_manifest()["version"]
         assert "bytes_written" in lin[-1] and lin[-1]["input_rows"] == 20
 
-    def test_watermark_roundtrip(self, spark, table):
-        table.set_watermarks({"1": {"log_pos": 500, "event_row_index": 3, "gtid": 42}})
-        wms = table.watermarks()
-        assert wms["1"]["log_pos"] == 500
-        # new merge preserves existing watermarks
-        df = spark.createDataFrame(
-            [(100, "x", False, 99, 0, 1)],
-            "k bigint, val string, _deleted boolean, _gtid bigint, _event_seq bigint, _event_row_index bigint",
+    def test_watermark_roundtrip(self, spark, table20):
+        table20.set_watermarks({"1": {"log_pos": 500, "event_row_index": 3, "gtid": 42}})
+        assert table20.watermarks()["1"]["log_pos"] == 500
+        table20.merge(
+            _chg(spark, [(100, "x", False, 99, 0, 1)]),
+            batch_id=1,
+            extra_lineage={"watermarks": {"2": {"log_pos": 9, "event_row_index": 1, "gtid": 50}}},
         )
-        table.merge(df, batch_id=1, extra_lineage={"watermarks": {"2": {"log_pos": 9, "event_row_index": 1, "gtid": 50}}})
-        wms = table.watermarks()
+        wms = table20.watermarks()
         assert wms["1"]["log_pos"] == 500 and wms["2"]["gtid"] == 50
 
-    def test_metrics_table(self, spark, table):
-        df = spark.createDataFrame(
-            [(50, "y", False, 200, 0, 1)],
-            "k bigint, val string, _deleted boolean, _gtid bigint, _event_seq bigint, _event_row_index bigint",
-        )
-        table.merge(df, batch_id=7)
-        m = table.metrics()
-        rows = {r["version"]: r for r in m.collect()}
-        assert len(rows) >= 2  # fixture commit + this one
+    def test_metrics_table(self, spark, table20):
+        table20.merge(_chg(spark, [(50, "y", False, 200, 0, 1)]), batch_id=7)
+        rows = {r["version"]: r for r in table20.metrics().collect()}
+        assert len(rows) >= 2
         latest = rows[max(rows)]
         assert latest["batch_id"] == 7
         assert latest["input_rows"] == 1
         assert latest["wall_ms"] > 0
 
-    def test_merge_only_rewrites_dirty_buckets(self, spark, table):
-        files_before = dict(table.snapshot_manifest()["files"])
-        # touch exactly one key → at most one dirty bucket
-        df = spark.createDataFrame(
-            [(1, "updated", False, 1000, 0, 1)],
-            "k bigint, val string, _deleted boolean, _gtid bigint, _event_seq bigint, _event_row_index bigint",
-        )
-        rec = table.merge(df, batch_id=2)
+    def test_merge_only_touches_dirty_buckets(self, spark, table20):
+        files_before = dict(table20.snapshot_manifest()["files"])
+        rec = table20.merge(_chg(spark, [(1, "updated", False, 1000, 0, 1)]), batch_id=2)
         assert len(rec["dirty_buckets"]) == 1
-        files_after = table.snapshot_manifest()["files"]
+        files_after = table20.snapshot_manifest()["files"]
         dirty = str(rec["dirty_buckets"][0])
         for b, paths in files_before.items():
             if b != dirty:
-                assert files_after[b] == paths  # untouched buckets carried over
+                assert files_after[b] == paths
         assert files_after[dirty] != files_before.get(dirty)
-        got = {r.k: r.val for r in table.read().collect()}
+        got = {r.k: r.val for r in table20.read().collect()}
         assert got[1] == "updated"
