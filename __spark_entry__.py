@@ -93,6 +93,50 @@ def q_cdc_bounded_replay(spark, sf_dir):
     return state.select("doc_id", "text")
 
 
+def q_cdc_streaming_restart(spark, sf_dir):
+    """Final table state after a checkpointed streaming replay that stops
+    (all current segments drained), then resumes after more segments
+    arrive — state is a pure function of the op stream, so the oracle is
+    the same CASE/WHERE SQL as cdc_apply_state (T5 resume semantics)."""
+    import os
+    import tempfile
+
+    from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+    from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+    from myzql_binlog_connector_spark.streaming.replay import BinlogReplayStream
+
+    writers = harness.events_stream_writers(sf_dir, n_segments=4)
+    split = max(1, len(writers) // 2)
+    root = tempfile.mkdtemp(prefix="cdc_restart_")
+    seg = os.path.join(root, "seg")
+    harness.write_writers_parquet(writers[:split], seg)
+
+    table = BucketedLakeTable(
+        spark, os.path.join(root, "t"), ["event_id"], n_buckets=8
+    )
+    applier = TranscriptsApplier(
+        spark,
+        table,
+        column_names=["event_id", "user_id", "event_type", "value", "props"],
+        key_positions=(0,),
+    )
+    ckpt = os.path.join(root, "ckpt")
+    BinlogReplayStream(
+        spark, seg, applier, checkpoint_dir=ckpt, max_files_per_trigger=1
+    ).run_to_completion()
+    # restart: a NEW stream over the same checkpoint after the remaining
+    # segments arrive — Spark's file-source checkpoint + the applier's
+    # watermark gate make the resume exactly-once
+    n_events_done = sum(len(w.events) for w in writers[:split])
+    harness.write_writers_parquet(
+        writers[split:], seg, start_seq=split + 1, start_gtid=n_events_done
+    )
+    BinlogReplayStream(
+        spark, seg, applier, checkpoint_dir=ckpt, max_files_per_trigger=1
+    ).run_to_completion()
+    return table.read().select("event_id", "user_id", "event_type", "value", "props")
+
+
 def q_cdc_partial_update(spark, sf_dir):
     """PARTIAL_UPDATE_ROWS(39): partial-JSON diffs decode to the
     ``{"$partial": [...]}`` envelope form (reference routes type 39 as a
@@ -409,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bounded_replay": q_cdc_bounded_replay,
         "cdc_table_filter": q_cdc_table_filter,
         "cdc_partial_update": q_cdc_partial_update,
+        "cdc_streaming_restart": q_cdc_streaming_restart,
         "lww_dedup_events": q_lww_dedup_events,
         "lww_dedup_salted_events": q_lww_dedup_salted_events,
         "event_type_filter": q_event_type_filter,
@@ -473,6 +518,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id < (SELECT CAST(ceil(count(*) / 2.0) AS BIGINT) FROM documents)
         """,
         "cdc_table_filter": "SELECT CAST(NULL AS VARCHAR) AS dml_type, CAST(NULL AS VARCHAR) AS after_values WHERE FALSE",
+        "cdc_streaming_restart": """
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value,
+                   props
+            FROM events WHERE event_type <> 'click'
+        """,
         "cdc_partial_update": """
             SELECT event_id,
                    '{"$partial":[{"op":"replace","path":"$.v","value":'

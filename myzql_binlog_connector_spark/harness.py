@@ -90,8 +90,55 @@ def docs_cdc_events(spark: SparkSession, sf_dir: str, n_segments: int = 2) -> Da
 def events_cdc_stream(spark: SparkSession, sf_dir: str, n_segments: int = 3) -> DataFrame:
     """Mixed op stream over the events table (pure function of the table):
     INSERT all → UPDATE (value*2) where event_id%3=0 → DELETE clicks."""
+    return _events_df_from_writer(spark, events_stream_writers(sf_dir, n_segments))
+
+
+def write_writers_parquet(
+    writers: list[EventWriter],
+    out_dir: str,
+    start_seq: int = 1,
+    start_gtid: int = 0,
+) -> list[str]:
+    """Materialize EventWriter segments as a segment-store directory (one
+    parquet file per writer, FIXTURES.md F2 layout) — the streaming-source
+    form of :func:`_events_df_from_writer`.  ``start_seq``/``start_gtid``
+    let callers append later segments to an existing store with continuous
+    numbering (arrival-of-new-segments scenarios)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    gtid = start_gtid
+    for file_seq, w in enumerate(writers, start=start_seq):
+        rows = []
+        for event_seq, (offset, pkt) in enumerate(w.events):
+            gtid += 1
+            rows.append((file_seq, offset, gtid, gtid, pkt[5], pkt))
+        tbl = pa.table(
+            {
+                "file_seq": pa.array([r[0] for r in rows], pa.int32()),
+                "offset": pa.array([r[1] for r in rows], pa.int64()),
+                "gtid": pa.array([r[2] for r in rows], pa.int64()),
+                "event_seq": pa.array([r[3] for r in rows], pa.int64()),
+                "event_type": pa.array([r[4] for r in rows], pa.int8()),
+                "event_blob": pa.array([r[5] for r in rows], pa.binary()),
+            }
+        )
+        path = os.path.join(out_dir, f"segment-{file_seq:06d}.parquet")
+        pq_.write_table(tbl, path)
+        paths.append(path)
+    return paths
+
+
+def events_stream_writers(sf_dir: str, n_segments: int = 3) -> list[EventWriter]:
+    """The :func:`events_cdc_stream` op stream as raw EventWriters (for
+    callers that materialize segment files instead of a DataFrame)."""
     tbl = pq.read_table(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "value", "props"]
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value", "props"],
     ).to_pylist()
     inserts = [
         (r["event_id"], r["user_id"], r["event_type"], r["value"], r["props"])
@@ -111,10 +158,8 @@ def events_cdc_stream(spark: SparkSession, sf_dir: str, n_segments: int = 3) -> 
         for r in tbl
         if r["event_type"] == "click"
     ]
-
     phases = [("I", inserts), ("U", updates), ("D", deletes)]
-    writers = []
-    w = None
+    writers: list[EventWriter] = []
     per = max(1, (len(inserts) + len(updates) + len(deletes)) // n_segments + 1)
     emitted = 0
 
@@ -142,7 +187,7 @@ def events_cdc_stream(spark: SparkSession, sf_dir: str, n_segments: int = 3) -> 
                 emitted = 0
     w.rotate("binlog.999999")
     writers.append(w)
-    return _events_df_from_writer(spark, writers)
+    return writers
 
 
 EVENTS_JSON_SCHEMA = TableSchema(
