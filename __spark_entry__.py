@@ -375,6 +375,14 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_topk_ivf(
+        emb, probes, k=3, stride=100, nprobe=3
+    ).select("probe_id", "neighbor_id", "sim", "rank")
+
+
 def q_lsh_buckets(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     return emb.select(
@@ -473,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "lsh_buckets": q_lsh_buckets,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id_docs": q_lang_id_docs,
@@ -683,6 +692,9 @@ def oracle_sql() -> dict[str, str]:
                 ON b.vec_id < 10 AND a.vec_id <> b.vec_id
             ) WHERE rank <= 3
         """,
+        "ann_ivf_topk": similarity.ann_topk_ivf_sql(
+            "embeddings", k=3, stride=100, nprobe=3, probe_pred="vec_id < 10"
+        ),
         "lsh_buckets": f"""
             SELECT vec_id, CAST({similarity.lsh_bucket_sql('embedding', 64, 16)} AS BIGINT) AS bucket
             FROM embeddings

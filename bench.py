@@ -160,6 +160,7 @@ HEADLINE = [
     "minhash_dup_pairs",
     "simhash_docs",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "lsh_buckets",
     "embedding_near_dup",
     "lang_id_docs",

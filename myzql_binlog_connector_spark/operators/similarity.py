@@ -109,6 +109,121 @@ def ann_topk_bruteforce(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path
+# ---------------------------------------------------------------------------
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 3,
+    stride: int = 100,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+) -> DataFrame:
+    """IVF top-k: partition the corpus into cells around deterministic
+    centroids (every ``stride``-th vector — a seeded stand-in for k-means,
+    chosen so the DuckDB oracle can share it exactly), search only the
+    ``nprobe`` nearest cells per probe.
+
+    Scale shape at 10^9 vectors: centroids are tiny and broadcast; the
+    assignment pass is one broadcast join + max_by hash aggregate (one row
+    per vector, map-side combinable — never a window over N×K rows); the
+    probe search joins only the selected cells (≈ nprobe/K of the corpus).
+    Similarities are rounded before ranking with id tie-breaks, so results
+    are stable across engines and float summation orders."""
+    cents = corpus.filter((F.col(id_col) % stride) == 0).select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+
+    # cell assignment: argmax centroid per vector
+    sim_c = F.round(cosine(F.col(vec_col), F.col("_cvec")), 4)
+    scored = corpus.join(F.broadcast(cents)).select(
+        id_col, vec_col, "_cid", sim_c.alias("_csim")
+    )
+    row = F.struct(F.col(id_col), F.col(vec_col), F.col("_cid"))
+    best = F.max_by(row, F.struct(F.col("_csim"), -F.col("_cid")))
+    assigned = scored.groupBy(id_col).agg(best.alias("_r")).select(
+        F.col(f"_r.{id_col}").alias(id_col),
+        F.col(f"_r.{vec_col}").alias(vec_col),
+        F.col("_r._cid").alias("_cell"),
+    )
+
+    # nprobe nearest cells per probe
+    p = probes.select(F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("_pvec"))
+    pc = p.join(F.broadcast(cents)).select(
+        probe_id_col, "_pvec", "_cid",
+        F.round(cosine(F.col("_pvec"), F.col("_cvec")), 4).alias("_csim"),
+    )
+    wp = Window.partitionBy(probe_id_col).orderBy(F.desc("_csim"), F.asc("_cid"))
+    probe_cells = (
+        pc.withColumn("_prn", F.row_number().over(wp))
+        .filter(F.col("_prn") <= nprobe)
+        .select(probe_id_col, "_pvec", F.col("_cid").alias("_cell"))
+    )
+
+    cand = probe_cells.join(assigned, "_cell").filter(
+        F.col(id_col) != F.col(probe_id_col)
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("_pvec")), 4)
+    scored2 = cand.select(
+        F.col(probe_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("sim")
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored2.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    )
+
+
+def ann_topk_ivf_sql(
+    table: str = "embeddings",
+    k: int = 3,
+    stride: int = 100,
+    nprobe: int = 3,
+    probe_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB mirror of :func:`ann_topk_ivf`."""
+    cos_ec = cosine_sql("e.embedding", "c.cvec")
+    cos_pc = cosine_sql("p.embedding", "c.cvec")
+    cos_pn = cosine_sql("a.embedding", "pc.pvec")
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM {table} WHERE vec_id % {stride} = 0
+    ), assigned AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({cos_ec}, 4) DESC, c.cid
+               ) AS rn
+        FROM {table} e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), probe_cells AS (
+      SELECT probe_id, pvec, cid AS cell FROM (
+        SELECT p.vec_id AS probe_id, p.embedding AS pvec, c.cid,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY round({cos_pc}, 4) DESC, c.cid
+               ) AS rn
+        FROM {table} p CROSS JOIN cents c WHERE p.{probe_pred}
+      ) WHERE rn <= {nprobe}
+    )
+    SELECT probe_id, neighbor_id, sim, rank FROM (
+      SELECT pc.probe_id, a.vec_id AS neighbor_id,
+             round({cos_pn}, 4) AS sim,
+             CAST(row_number() OVER (
+               PARTITION BY pc.probe_id
+               ORDER BY round({cos_pn}, 4) DESC, a.vec_id
+             ) AS INT) AS rank
+      FROM probe_cells pc JOIN assigned a USING (cell)
+      WHERE a.vec_id <> pc.probe_id
+    ) WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
 # LSH bucketing (scale path)
 # ---------------------------------------------------------------------------
 
