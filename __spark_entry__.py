@@ -448,6 +448,39 @@ def q_multimodal_meta(spark, sf_dir):
     return meta.select("media_id", "byte_len", "width", "height", "format")
 
 
+def q_multimodal_real_decode(spark, sf_dir):
+    """REAL codec round-trip, fully distributed: workers render a PNG per
+    document (dims derived from doc columns), then decode_media parses the
+    actual bytes back — the oracle recomputes the dims from the same
+    formula.  Exercises operators/codecs.py end-to-end inside Spark."""
+    from myzql_binlog_connector_spark.operators.multimodal import decode_media
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from myzql_binlog_connector_spark.operators.codecs import encode_png
+
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 8 + int(did) % 16
+                h = 8 + int(nch) % 16
+                arr = np.full((h, w, 3), int(did) % 256, dtype=np.uint8)
+                ids.append(did)
+                kinds.append("image")
+                payloads.append(encode_png(arr))
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, kind string, payload binary")
+    meta = decode_media(media, fake=False)
+    return meta.select(
+        F.col("media_id").alias("doc_id"), "width", "height", "format"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -491,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "json_extract_props": q_json_extract_props,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_real_decode": q_multimodal_real_decode,
     }
 
 
@@ -724,6 +758,13 @@ def oracle_sql() -> dict[str, str]:
                    TRY_CAST(NULLIF(regexp_extract(props, '"k":\s*(\d+)', 1), '') AS BIGINT) AS k_value
             FROM events
         """,
+        "multimodal_real_decode": """
+            SELECT doc_id,
+                   CAST(8 + doc_id %% 16 AS INT) AS width,
+                   CAST(8 + n_chars %% 16 AS INT) AS height,
+                   'png' AS format
+            FROM documents
+        """.replace('%%', '%'),
         "multimodal_meta": f"""
             SELECT doc_id AS media_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -2,11 +2,14 @@
 
 Images/audio/video travel as ``binary`` columns with a metadata struct.
 The Spark-side machinery — schema, partition-friendly batch shape,
-``mapInPandas`` Arrow UDFs — is real and tested; the actual codec calls are
-STUBBED (this container has no image/audio libraries): ``decode_media``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic metadata extractor stands in so the distributed plumbing can
-be exercised end-to-end.
+``mapInPandas`` Arrow UDFs — is real and tested.  Codecs: PNG/BMP/WAV are
+REAL (pure stdlib zlib/wave + numpy — see ``operators/codecs.py``; decode,
+metadata, nearest-neighbor resize, PNG re-encode all operate on actual
+bytes).  Only video containers stay stubbed (ffmpeg is not in this
+container): ``decode_media`` raises ``NotImplementedError`` for them
+unless ``fake=True``, in which case a deterministic metadata extractor
+stands in so the distributed plumbing can be exercised end-to-end with
+synthetic payloads.
 
 Batch shape: ``mapInPandas`` receives Arrow batches (pandas DataFrames);
 binary payloads stay as Python ``bytes`` inside the batch — zero-copy from
@@ -65,11 +68,15 @@ def _fake_meta(payload: bytes, kind: str) -> dict:
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Extract metadata from the binary payload via mapInPandas.
 
-    ``fake=False`` raises NotImplementedError inside the UDF (no codec libs
-    in this container); ``fake=True`` uses the deterministic stand-in.
+    ``fake=False`` decodes REAL payloads (PNG/BMP/WAV — codecs.media_meta);
+    video containers raise NotImplementedError (ffmpeg not available).
+    ``fake=True`` uses the deterministic md5 stand-in (synthetic-payload
+    pipelines where the bytes aren't actual media).
     Input needs columns (media_id, kind, payload)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import media_meta
+
         for pdf in batches:
             metas = []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
@@ -77,16 +84,56 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                     metas.append({"byte_len": None, "width": None, "height": None,
                                   "duration_ms": None, "format": None})
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "real media decoding requires PIL/ffmpeg — not in this container"
-                    )
-                metas.append(_fake_meta(bytes(payload), kind))
+                if fake:
+                    metas.append(_fake_meta(bytes(payload), kind))
+                else:
+                    metas.append(media_meta(bytes(payload)))
             meta_df = pd.DataFrame(metas)
             out = pdf[["media_id", "kind", "payload"]].reset_index(drop=True)
             yield pd.concat([out, meta_df], axis=1)
 
     return df.mapInPandas(extract, schema=MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("payload", BinaryType(), True),  # re-encoded PNG
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int = 64, out_h: int = 64) -> DataFrame:
+    """Real image transform: decode (PNG/BMP) → nearest-neighbor resize →
+    PNG re-encode, batch-wise in mapInPandas.  Shape-preserving (1→1);
+    undecodable payloads are dropped (logged rows would poison retries)."""
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import CodecError, decode_image, encode_png, resize_nearest
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                try:
+                    img = decode_image(bytes(payload))
+                except (CodecError, NotImplementedError):
+                    continue
+                ids.append(mid)
+                payloads.append(encode_png(resize_nearest(img, out_w, out_h)))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": [out_w] * len(ids),
+                    "height": [out_h] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    return df.mapInPandas(work, schema=RESIZED_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(
