@@ -109,20 +109,21 @@ disks / object store) does not do — the criterion measures compute scaling.
 **Decode-stage scaling efficiency (N→4N): {eff_d:.3f}**
 
 Efficiency = (throughput_4N / throughput_N) / 4.  The e2e row is the north
-metric (change-events/sec applied).  The decode-only row benchmarks the
-*envelope* decode path, which deliberately includes a full blob shuffle
-(segment co-location for arbitrary sources) — that shuffle is memory-
-bandwidth-bound on one box and caps its scaling; the e2e pipeline uses the
-zero-shuffle typed decode (task-per-segment-file) and scales with cores.
+metric (change-events/sec applied: decode + LWW + exactly-once merge into a
+committed, queryable table).  The decode-only row is the zero-shuffle
+bounded-replay path (size-binned segment files, code-generated per-schema
+parsers, columnar JSON-envelope output) — the same work class as the
+reference's log-only pipeline.
 
-Reference single-node comparison point: 594,249 rows/sec
-(/root/reference/README.md:427; pipeline mode, batch 8192).  Our engine's
-equivalent single-node number is the 4N row above; unlike the reference it
-keeps scaling horizontally — segments are independent decode units and the
-merge is bucket-parallel, so a 1000-executor cluster assigns
-segments/buckets across executors with no shared state (see
-myzql_binlog_connector_spark/functions/decode.py and plans/lake.py
-docstrings for the partitioning argument).
+Reference single-node comparison point: 594,249 rows/sec, log-only
+(/root/reference/README.md:427; pipeline mode, batch 8192).  The 4N
+decode-only row is the apples-to-apples number; the e2e row additionally
+pays for the LWW merge and exactly-once commit the reference does not do.
+Unlike the reference, both keep scaling horizontally — segments are
+independent decode units and the merge is bucket-parallel, so a
+1000-executor cluster assigns segments/buckets across executors with no
+shared state (see myzql_binlog_connector_spark/functions/decode.py and
+plans/lake.py docstrings for the partitioning argument).
 
 Raw results:
 ```json
