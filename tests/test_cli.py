@@ -1,0 +1,38 @@
+"""CLI entry point (python -m myzql_binlog_connector_spark): config-driven
+replay, reference-binary UX parity."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+from myzql_binlog_connector_spark.genlog import generate_stream, write_segments_parquet
+
+
+def test_cli_apply_matches_truth(tmp_path):
+    stream = generate_stream(seed=3, n_convs=10, n_segments=2)
+    write_segments_parquet(stream, str(tmp_path / "seg"))
+    cfg = {
+        "segments_path": str(tmp_path / "seg"),
+        "output_mode": "apply",
+        "table_path": str(tmp_path / "t"),
+        "n_buckets": 4,
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "myzql_binlog_connector_spark",
+            "--config", str(cfg_path), "--master", "local[4]",
+            "--shuffle-partitions", "8",
+        ],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-1000:]
+    summary = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert summary["mode"] == "apply"
+    assert summary["final_rows"] == len(stream.truth)
+    assert summary["applied_rows"] == len(stream.ops)
