@@ -473,16 +473,18 @@ def parse_rows_event(
     payload: memoryview,
     schema: TableSchema,
     decoders: list | None = None,
+    rows_v2: bool | None = None,
 ) -> list[RowChange]:
     """Parse a (WRITE|UPDATE|DELETE)_ROWS event body into row changes.
 
     UPDATE events parse before+after images sequentially from the same
     buffer (event_parser.zig:1058-1066).  One event yields N rows.
+    ``rows_v2``: FDE-announced framing (see :func:`rows_prelude`).
     """
     if decoders is None:
         decoders = [compile_decoder(c) for c in schema.columns]
     pos = 6 + 2  # table_id + flags
-    if event_type in ROWS_V2_TYPES:
+    if rows_v2 if rows_v2 is not None else (event_type in ROWS_V2_TYPES):
         extra_len = int.from_bytes(payload[pos : pos + 2], "little")
         pos += extra_len  # includes its own 2 bytes
     n_cols, pos = read_lenenc(payload, pos)
@@ -559,13 +561,20 @@ def row_values_to_json(values: list | None) -> str | None:
     return _dumps(obj)
 
 
-def rows_prelude(event_type: int, payload: memoryview) -> tuple[int, int, bytes, bytes]:
+def rows_prelude(
+    event_type: int, payload: memoryview, rows_v2: bool | None = None
+) -> tuple[int, int, bytes, bytes]:
     """Parse the ROWS-event prelude: table_id+flags(+v2 extra), column
     count, present-column bitmap(s).  Returns (pos, n_cols, present1,
     present2) with the bitmaps as bytes (cache keys for the code-generated
-    body parsers)."""
+    body parsers).
+
+    ``rows_v2``: whether the body carries the v2 extra-data section — the
+    discriminator is the FORMAT_DESCRIPTION post_header_len (8 → v1,
+    10 → v2), not the event code (event_parser.zig:69-71 comment); None
+    falls back to the MySQL 5.6+ default (types 30-32/39 are v2)."""
     pos = 6 + 2
-    if event_type in ROWS_V2_TYPES:
+    if rows_v2 if rows_v2 is not None else (event_type in ROWS_V2_TYPES):
         extra_len = int.from_bytes(payload[pos : pos + 2], "little")
         pos += extra_len  # includes its own 2 bytes
     n_cols, pos = read_lenenc(payload, pos)
@@ -629,6 +638,9 @@ class BinlogSession:
         # (table_id, event_type, present1, present2[, …]) -> generated parser;
         # entries for a table_id are dropped when its TABLE_MAP changes
         self._parser_cache: dict = {}
+        # FDE-announced ROWS framing: event_type -> is_v2 (post_header_len
+        # 10 → v2, 8 → v1); empty = MySQL 5.6+ defaults
+        self._rows_v2: dict[int, bool] = {}
         # in-band gtid tracking: GTID_LOG_EVENT announces the transaction
         # number of everything until the next GTID event; event_seq counts
         # events within the current transaction
@@ -672,6 +684,7 @@ class BinlogSession:
             and et0 not in ROWS_EVENT_TYPES
             and et0 != EventType.GTID
             and et0 != EventType.TABLE_MAP
+            and et0 != EventType.FORMAT_DESCRIPTION
         ):
             self.current_event_seq += 1
             return None
@@ -694,6 +707,15 @@ class BinlogSession:
             self.current_event_seq = 0
             return None
         self.current_event_seq += 1
+        if et == EventType.FORMAT_DESCRIPTION:
+            # v1-vs-v2 ROWS framing comes from post_header_len (8 vs 10),
+            # not the event code (cf. event_parser.zig:69-71)
+            fd = parse_format_description(payload)
+            phl = fd["post_header_len"]
+            for t in (23, 24, 25, 30, 31, 32, 39):
+                if t - 1 < len(phl) and phl[t - 1] in (8, 10):
+                    self._rows_v2[t] = phl[t - 1] == 10
+            return None
         if et == EventType.TABLE_MAP:
             # real binlogs re-announce the (byte-identical) TABLE_MAP before
             # every ROWS statement group; skip re-parsing when the raw bytes
@@ -747,9 +769,14 @@ class BinlogSession:
         if pre is None:
             return
         hdr, et, payload, table_id, schema = pre
-        changes = parse_rows_event(et, payload, schema, self._decoders[table_id])
+        changes = parse_rows_event(
+            et, payload, schema, self._decoders[table_id], rows_v2=self._is_v2(et)
+        )
         self.rows_emitted += len(changes)
         yield hdr, table_id, changes
+
+    def _is_v2(self, event_type: int) -> bool:
+        return self._rows_v2.get(event_type, event_type in ROWS_V2_TYPES)
 
     def process_packet_columnar(
         self,
@@ -769,7 +796,9 @@ class BinlogSession:
         if et == EventType.PARTIAL_UPDATE_ROWS:
             # partial-JSON layout is data-dependent per row (value_options +
             # partial bitmap) — generic parser, not worth codegen
-            changes = parse_rows_event(et, payload, schema, self._decoders[table_id])
+            changes = parse_rows_event(
+                et, payload, schema, self._decoders[table_id], rows_v2=self._is_v2(et)
+            )
             k = len(changes)
             for ch in changes:
                 out.before_values.append(row_values_to_json(ch.before))
@@ -778,7 +807,7 @@ class BinlogSession:
             return k
         ckey = (table_id, et)
         hit = self._parser_cache.get(ckey)
-        pos, n_cols, p1, p2 = rows_prelude(et, payload)
+        pos, n_cols, p1, p2 = rows_prelude(et, payload, self._is_v2(et))
         if hit is None or hit[1] != p1 or hit[2] != p2:
             from .rowcodec import get_env_parser
 
@@ -838,7 +867,9 @@ class BinlogSession:
             return 0
         hdr, et, payload, table_id, schema = pre
         if et == EventType.PARTIAL_UPDATE_ROWS:
-            changes = parse_rows_event(et, payload, schema, self._decoders[table_id])
+            changes = parse_rows_event(
+                et, payload, schema, self._decoders[table_id], rows_v2=self._is_v2(et)
+            )
             k = len(changes)
             for ch in changes:
                 src = ch.after
@@ -863,7 +894,7 @@ class BinlogSession:
             return k
         ckey = (table_id, et, "t")
         hit = self._parser_cache.get(ckey)
-        pos, n_cols, p1, p2 = rows_prelude(et, payload)
+        pos, n_cols, p1, p2 = rows_prelude(et, payload, self._is_v2(et))
         if hit is None or hit[1] != p1 or hit[2] != p2:
             from .rowcodec import get_typed_parser
 

@@ -218,10 +218,19 @@ class EventWriter:
     """Accumulates events for one binlog segment, tracking log_pos like a
     real server (log_pos = end position of the event in the file)."""
 
-    def __init__(self, server_id: int = 1, start_pos: int = 4, base_timestamp: int = 1_700_000_000):
+    def __init__(
+        self,
+        server_id: int = 1,
+        start_pos: int = 4,
+        base_timestamp: int = 1_700_000_000,
+        rows_v2: bool = True,
+    ):
         self.server_id = server_id
         self.pos = start_pos
         self.ts = base_timestamp
+        # v1 vs v2 ROWS framing is announced by FORMAT_DESCRIPTION
+        # post_header_len (8 → v1, 10 → v2), NOT by the event type code
+        self.rows_v2 = rows_v2
         self.events: list[tuple[int, bytes]] = []  # (offset_before, framed packet)
 
     def _emit(self, event_type: int, payload: bytes, timestamp: int | None = None) -> tuple[int, int, bytes]:
@@ -240,7 +249,8 @@ class EventWriter:
         return offset, self.pos, pkt
 
     # -- FORMAT_DESCRIPTION --------------------------------------------------
-    def format_description(self, rows_v2: bool = True):
+    def format_description(self, rows_v2: bool | None = None):
+        rows_v2 = self.rows_v2 if rows_v2 is None else rows_v2
         payload = bytearray()
         payload += (4).to_bytes(2, "little")  # binlog version
         payload += b"8.0.42-synthetic".ljust(50, b"\x00")  # server version
@@ -298,7 +308,8 @@ class EventWriter:
         payload = bytearray()
         payload += table_id.to_bytes(6, "little")
         payload += (0).to_bytes(2, "little")  # flags
-        payload += (2).to_bytes(2, "little")  # v2 extra-data length (just itself)
+        if self.rows_v2:
+            payload += (2).to_bytes(2, "little")  # v2 extra-data length (just itself)
         payload += write_lenenc(n)
         present = bytes([0xFF] * ((n + 7) // 8))  # all columns present
         payload += present

@@ -158,3 +158,45 @@ class TestTypedParser:
         assert cols[0] == ["conv-a"]
         assert cols[3] == ["edited"]
         assert cols[6] == [False]
+
+
+class TestRowsV1Framing:
+    """v1 vs v2 ROWS framing is announced by FORMAT_DESCRIPTION
+    post_header_len (8 vs 10), not the event code — a v1 stream using type
+    30-32 must decode identically (cf. event_parser.zig:69-71)."""
+
+    def _stream(self, rows_v2: bool):
+        from myzql_binlog_connector_spark.binlog.encoder import (
+            EventWriter,
+            TRANSCRIPTS_SCHEMA,
+        )
+
+        w = EventWriter(rows_v2=rows_v2)
+        w.format_description()
+        w.table_map(5, TRANSCRIPTS_SCHEMA)
+        rows = [
+            (f"conv-{i}", i, "user", f"text {i}", None, 1_700_000_000_000_000 + i)
+            for i in range(5)
+        ]
+        w.write_rows(5, TRANSCRIPTS_SCHEMA, rows)
+        w.update_rows(5, TRANSCRIPTS_SCHEMA, [(rows[0], rows[1])])
+        w.delete_rows(5, TRANSCRIPTS_SCHEMA, [rows[2]])
+        return [(1, i + 1, i + 1, pkt) for i, (_, pkt) in enumerate(w.events)]
+
+    def test_v1_equals_v2_generic_and_columnar(self):
+        outs = {}
+        for v2 in (True, False):
+            packets = self._stream(v2)
+            outs[(v2, "generic")] = _envelope_dicts(packets)
+            cb = _envelope_columnar(packets)
+            outs[(v2, "columnar")] = [
+                {n: cb.columns()[ci][r] for ci, n in enumerate(EnvelopeBatch.__slots__)}
+                for r in range(len(cb))
+            ]
+        # payload-visible fields identical across framings and paths
+        keys = ("database", "table_name", "dml_type", "before_values",
+                "after_values", "event_row_index")
+        base = [{k: r[k] for k in keys} for r in outs[(True, "generic")]]
+        for variant in outs.values():
+            assert [{k: r[k] for k in keys} for r in variant] == base
+        assert len(base) == 7  # 5 inserts + 1 update + 1 delete
