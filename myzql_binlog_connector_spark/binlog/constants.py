@@ -27,6 +27,8 @@ class EventType(IntEnum):
     UPDATE_ROWS_V1 = 31
     DELETE_ROWS_V1 = 32
     GTID = 33
+    ANONYMOUS_GTID = 34
+    PREVIOUS_GTIDS = 35
     WRITE_ROWS_V2 = 30  # alias used by MySQL 5.6+ numbering below
     # MySQL 5.6+ v2 codes:
     # WRITE_ROWS_EVENT = 30, UPDATE_ROWS_EVENT = 31, DELETE_ROWS_EVENT = 32

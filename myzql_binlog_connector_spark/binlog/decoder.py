@@ -641,6 +641,8 @@ class BinlogSession:
         # FDE-announced ROWS framing: event_type -> is_v2 (post_header_len
         # 10 → v2, 8 → v1); empty = MySQL 5.6+ defaults
         self._rows_v2: dict[int, bool] = {}
+        # union of PREVIOUS_GTIDS snapshots seen (GTID-based resume state)
+        self.previous_gtids = None
         # in-band gtid tracking: GTID_LOG_EVENT announces the transaction
         # number of everything until the next GTID event; event_seq counts
         # events within the current transaction
@@ -685,6 +687,7 @@ class BinlogSession:
             and et0 != EventType.GTID
             and et0 != EventType.TABLE_MAP
             and et0 != EventType.FORMAT_DESCRIPTION
+            and et0 != EventType.PREVIOUS_GTIDS
         ):
             self.current_event_seq += 1
             return None
@@ -707,6 +710,16 @@ class BinlogSession:
             self.current_event_seq = 0
             return None
         self.current_event_seq += 1
+        if et == EventType.PREVIOUS_GTIDS:
+            # executed-GTID snapshot at the top of a binlog file — exposed
+            # for GTID-based resume (docs/CAPTURE.md §4, gtid_set.py)
+            from .gtid_set import GtidSet
+
+            ps = GtidSet.from_payload(payload)
+            self.previous_gtids = (
+                ps if self.previous_gtids is None else self.previous_gtids.union(ps)
+            )
+            return None
         if et == EventType.FORMAT_DESCRIPTION:
             # v1-vs-v2 ROWS framing comes from post_header_len (8 vs 10),
             # not the event code (cf. event_parser.zig:69-71)

@@ -385,6 +385,12 @@ class EventWriter:
         payload = bytes([flags]) + sid + gno.to_bytes(8, "little")
         return self._emit(33, payload)
 
+    # -- PREVIOUS_GTIDS ----------------------------------------------------
+    def previous_gtids(self, gtid_set):
+        """PREVIOUS_GTIDS_LOG_EVENT (35): the executed-GTID snapshot a
+        server writes at the top of each binlog file."""
+        return self._emit(35, gtid_set.to_payload())
+
     # -- ROTATE ---------------------------------------------------------------
     def rotate(self, next_file: str, next_pos: int = 4):
         payload = next_pos.to_bytes(8, "little") + next_file.encode()

@@ -28,6 +28,7 @@ from myzql_binlog_connector_spark.binlog.decoder import (
     parse_gtid,
     parse_table_map,
 )
+from myzql_binlog_connector_spark.binlog.gtid_set import GtidSet
 from myzql_binlog_connector_spark.binlog.wire import parse_header
 
 MAX_PAYLOAD = 0xFFFFFF
@@ -69,9 +70,11 @@ def packets_to_segments(payloads, start_file_seq: int = 1):
     """Classify payloads (docs/CAPTURE.md §2) and split event blobs into
     rotation-delimited segments.
 
-    Returns (segments, schema_descs) where segments is
-    ``[(file_seq, [(offset, gtid, event_seq, blob), ...]), ...]`` and
-    schema_descs is ``{(database, table): desc_json}``."""
+    Returns (segments, schema_descs, executed) where segments is
+    ``[(file_seq, [(offset, gtid, event_seq, blob), ...]), ...]``,
+    schema_descs is ``{(database, table): desc_json}``, and ``executed`` is
+    the GtidSet accumulated from PREVIOUS_GTIDS snapshots + in-band GTIDs
+    (the COM_BINLOG_DUMP_GTID resume payload for the next capture run)."""
     segments = []
     cur: list[tuple[int, int, int, bytes]] = []
     file_seq = start_file_seq
@@ -79,6 +82,7 @@ def packets_to_segments(payloads, start_file_seq: int = 1):
     gtid = 0
     event_seq = 0
     descs: dict[tuple[str, str], str] = {}
+    executed = GtidSet()
 
     for payload in payloads:
         first = payload[0]
@@ -95,7 +99,11 @@ def packets_to_segments(payloads, start_file_seq: int = 1):
         ev_payload = body[HEADER_LEN:]
         event_seq += 1
         if hdr.event_type == EventType.GTID:
-            gtid = parse_gtid(ev_payload).gno
+            g = parse_gtid(ev_payload)
+            gtid = g.gno
+            executed.add(g.gtid_str.rsplit(":", 1)[0], g.gno)
+        elif hdr.event_type == EventType.PREVIOUS_GTIDS:
+            executed = executed.union(GtidSet.from_payload(ev_payload))
         elif hdr.event_type == EventType.TABLE_MAP:
             _tid, schema = parse_table_map(ev_payload)
             descs[(schema.database, schema.table)] = json.dumps(
@@ -118,10 +126,10 @@ def packets_to_segments(payloads, start_file_seq: int = 1):
                 offset = 4
     if cur:
         segments.append((file_seq, cur))
-    return segments, descs
+    return segments, descs, executed
 
 
-def write_segment_store(segments, descs, out_dir: str) -> list[str]:
+def write_segment_store(segments, descs, out_dir: str, executed=None) -> list[str]:
     """Write segments + the v2 `_schemas.json` sidecar (FIXTURES.md F2)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -150,14 +158,19 @@ def write_segment_store(segments, descs, out_dir: str) -> list[str]:
             ],
             f,
         )
+    if executed is not None and executed.sids:
+        # the next capture run resumes with COM_BINLOG_DUMP_GTID carrying
+        # this set (docs/CAPTURE.md §4)
+        with open(os.path.join(out_dir, "_gtids.json"), "w") as f:
+            json.dump({"executed_gtid_set": str(executed)}, f)
     return paths
 
 
 def capture(stream_path: str, out_dir: str) -> list[str]:
     with open(stream_path, "rb") as f:
         data = f.read()
-    segments, descs = packets_to_segments(iter_mysql_packets(data))
-    return write_segment_store(segments, descs, out_dir)
+    segments, descs, executed = packets_to_segments(iter_mysql_packets(data))
+    return write_segment_store(segments, descs, out_dir, executed)
 
 
 if __name__ == "__main__":
