@@ -350,6 +350,16 @@ def q_minhash_dup_pairs(spark, sf_dir):
     return fuzzy.minhash_dup_pairs(docs, n_hashes=8, shingle_k=5, jaccard_threshold=0.35)
 
 
+def q_minhash_dup_clusters(spark, sf_dir):
+    """Near-dup clusters: connected components (min-label propagation) over
+    the verified minhash dup pairs; canonical doc = min id per cluster."""
+    from myzql_binlog_connector_spark.operators.dedup import connected_components
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = fuzzy.minhash_dup_pairs(docs, n_hashes=8, shingle_k=5, jaccard_threshold=0.35)
+    return connected_components(pairs)
+
+
 def q_simhash_docs(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return fuzzy.simhash(docs, bits=16)
@@ -511,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_docs": q_exact_dedup_docs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_dup_pairs": q_minhash_dup_pairs,
+        "minhash_dup_clusters": q_minhash_dup_clusters,
         "simhash_docs": q_simhash_docs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -693,13 +704,57 @@ def oracle_sql() -> dict[str, str]:
             ),
             sets AS (
               SELECT doc_id, list(DISTINCT sh) AS shset FROM shingled GROUP BY doc_id
+            ),
+            dup_pairs AS (
+              SELECT c.id_a, c.id_b,
+                     round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.shset, b.shset))), 4) AS jaccard
+              FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b
+              WHERE round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.shset, b.shset))), 4) >= 0.35
             )
-            SELECT c.id_a, c.id_b,
-                   round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-                         / len(list_distinct(list_concat(a.shset, b.shset))), 4) AS jaccard
-            FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b
-            WHERE round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-                        / len(list_distinct(list_concat(a.shset, b.shset))), 4) >= 0.35
+            SELECT id_a, id_b, jaccard FROM dup_pairs
+        """,
+        "minhash_dup_clusters": f"""
+            WITH RECURSIVE {shingle_cte},
+            sigs AS (
+              SELECT doc_id, {fuzzy.minhash_sig_select_sql(8)}
+              FROM shingled GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, band, mh FROM sigs,
+              LATERAL (VALUES {', '.join(
+                  f"({b}, concat(CAST(mh_{2*b} AS VARCHAR), '_', CAST(mh_{2*b+1} AS VARCHAR)))"
+                  for b in range(4)
+              )}) AS v(band, mh)
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.mh = r.mh AND l.doc_id < r.doc_id
+            ),
+            sets AS (
+              SELECT doc_id, list(DISTINCT sh) AS shset FROM shingled GROUP BY doc_id
+            ),
+            dup_pairs AS (
+              SELECT c.id_a, c.id_b,
+                     round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.shset, b.shset))), 4) AS jaccard
+              FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b
+              WHERE round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.shset, b.shset))), 4) >= 0.35
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM dup_pairs
+              UNION
+              SELECT id_b, id_a FROM dup_pairs
+            ),
+            walk(node, lab) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node
+            )
+            SELECT node AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY node
         """,
         "simhash_docs": fuzzy.simhash_sql("documents", "text", "doc_id", 16),
         "ngram_jaccard_pairs": f"""

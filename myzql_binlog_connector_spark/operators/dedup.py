@@ -68,3 +68,57 @@ def exact_dedup(df: DataFrame, cols: list[str] | None = None, keep_col: str | No
         return df.dropDuplicates(cols)
     w = Window.partitionBy(*(cols or df.columns)).orderBy(F.asc(keep_col))
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-dup clusters: connected components over an undirected pair
+    graph, labels = min doc id per component.  Returns (doc_id,
+    cluster_id) for every doc appearing in ``pairs``; the canonical
+    document of a cluster is the one with doc_id == cluster_id.
+
+    Min-label propagation: each round joins labels across edges and takes
+    the per-node min — converges in O(component diameter) rounds.  Dup
+    components in practice are shallow (near-duplicates of one another),
+    so the round count stays small even at 10^9 docs; every round is one
+    equi-join + one map-side-combinable min aggregate, checkpointed to cut
+    lineage.  Convergence is detected distributively (sum of labels is
+    monotonically non-increasing and integral — equal sums ⇒ fixpoint)."""
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iters):
+        prop = edges.join(labels, edges["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -174,3 +174,30 @@ class TestMultimodal:
         frames = sample_frames(media, every_n=10, max_frames=4).collect()
         assert len(frames) == 4
         assert b"".join(bytes(f.frame) for f in frames) <= bytes(range(100)) or len(frames[0].frame) > 0
+
+
+class TestConnectedComponents:
+    def test_chain_cycle_singleton_pair(self, spark):
+        from myzql_binlog_connector_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4),      # chain -> cluster 1
+             (10, 11), (11, 12), (12, 10),  # cycle -> cluster 10
+             (20, 21)],                     # pair -> cluster 20
+            "id_a bigint, id_b bigint",
+        )
+        got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                       10: 10, 11: 10, 12: 10,
+                       20: 20, 21: 20}
+
+    def test_long_chain_converges(self, spark):
+        from myzql_binlog_connector_spark.operators.dedup import connected_components
+
+        n = 30
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+        )
+        got = {r.doc_id: r.cluster_id for r in connected_components(pairs, max_iters=40).collect()}
+        assert set(got.values()) == {0}
+        assert len(got) == n + 1
