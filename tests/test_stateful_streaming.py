@@ -1,0 +1,70 @@
+"""Custom stateful streaming operator (applyInPandasWithState):
+per-conversation running progress over the decoded change stream, state
+carried across micro-batches."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from myzql_binlog_connector_spark.functions.decode import decode_changes
+from myzql_binlog_connector_spark.genlog import generate_stream, write_segments_parquet
+from myzql_binlog_connector_spark.sources.segments import stream_segments
+from myzql_binlog_connector_spark.streaming.stateful import conversation_progress
+
+
+def test_progress_state_across_microbatches(spark, tmp_path):
+    stream = generate_stream(seed=21, n_convs=12, n_segments=3)
+    seg = str(tmp_path / "seg")
+    write_segments_parquet(stream, seg)
+
+    events = stream_segments(spark, seg, max_files_per_trigger=1)
+    env = decode_changes(events, already_partitioned=True)
+    changes = env.select(
+        F.get_json_object(
+            F.coalesce("after_values", "before_values"), "$.c0"
+        ).alias("conv_id"),
+        "dml_type",
+        "gtid",
+        "file_seq",
+        "log_pos",
+    )
+    progress = conversation_progress(changes)
+
+    q = (
+        progress.writeStream.format("memory")
+        .queryName("conv_progress")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # the memory sink appends one updated row per (conv, micro-batch);
+    # the final state per conv is the row with the highest counters
+    rows = spark.sql(
+        """
+        SELECT conv_id, max(turns_applied) AS turns, max(deletes_seen) AS dels,
+               max(max_gtid) AS max_gtid
+        FROM conv_progress GROUP BY conv_id
+        """
+    ).collect()
+    got = {r.conv_id: (r.turns, r.dels) for r in rows}
+
+    want: dict[str, list[int]] = {}
+    for op in stream.ops:
+        conv = op.key[0]
+        w = want.setdefault(conv, [0, 0])
+        if op.kind == "DELETE":
+            w[1] += 1
+        else:
+            w[0] += 1
+    assert got == {c: tuple(v) for c, v in want.items()}
+    # state survived micro-batch boundaries: at least one conversation has
+    # ops spread over multiple segments (counters higher than any single
+    # batch could produce in isolation is implied by equality with truth)
+    assert len(got) == 12
