@@ -300,30 +300,46 @@ class TranscriptsApplier:
             )
         fresh = fresh.persist()
         try:
-            wm_rows = (
-                fresh.groupBy("_file_seq")
+            # ONE pass computes the per-file watermarks AND the dirty-bucket
+            # stats (the merge skips its own counting job): grouped by
+            # (file_seq, bucket), both aggregates fall out of the collect —
+            # the result is O(files × buckets) rows, never O(rows)
+            stat_rows = (
+                fresh.groupBy("_file_seq", self.table.bucket_expr().alias("_b"))
                 .agg(
                     F.max(F.struct("_log_pos", "_event_row_index")).alias("mx"),
                     F.max("_gtid").alias("max_gtid"),
+                    F.count(F.lit(1)).alias("n"),
                 )
                 .collect()
             )
-            if not wm_rows:
+            if not stat_rows:
                 return {"batch_id": batch_id, "skipped": True, "input_rows": 0}
-            new_wms = {
-                str(r["_file_seq"]): {
+            new_wms: dict = {}
+            bucket_counts: dict = {}
+            for r in stat_rows:
+                fs = str(r["_file_seq"])
+                cand = {
                     "log_pos": r["mx"]["_log_pos"],
                     "event_row_index": r["mx"]["_event_row_index"],
                     "gtid": r["max_gtid"],
                 }
-                for r in wm_rows
-            }
+                cur = new_wms.get(fs)
+                if cur is None or (cand["log_pos"], cand["event_row_index"]) > (
+                    cur["log_pos"], cur["event_row_index"]
+                ):
+                    cand["gtid"] = max(cand["gtid"], cur["gtid"]) if cur else cand["gtid"]
+                    new_wms[fs] = cand
+                elif cand["gtid"] > cur["gtid"]:
+                    cur["gtid"] = cand["gtid"]
+                bucket_counts[r["_b"]] = bucket_counts.get(r["_b"], 0) + r["n"]
             changes = fresh.drop("_file_seq", "_log_pos")
             return self.table.merge(
                 changes,
                 batch_id=batch_id,
                 extra_lineage={"watermarks": new_wms},
                 input_cached=True,  # `fresh` is persisted above
+                bucket_stats=sorted(bucket_counts.items()),
             )
         finally:
             fresh.unpersist()

@@ -198,6 +198,9 @@ class BucketedLakeTable:
     # merge (the J2 operator)
     # ------------------------------------------------------------------
 
+    def bucket_expr(self):
+        return F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets))
+
     def merge(
         self,
         changes: DataFrame,
@@ -205,10 +208,15 @@ class BucketedLakeTable:
         batch_id: int | None = None,
         extra_lineage: dict | None = None,
         input_cached: bool = False,
+        bucket_stats: list | None = None,
     ) -> dict:
         """Apply a change batch: upserts + tombstones, LWW per key.
 
         ``changes`` must contain the payload columns plus META_COLS.
+        ``bucket_stats``: optional precomputed ``[(bucket, count), ...]``
+        over ``changes`` (callers that already aggregate per-batch stats —
+        e.g. the applier's watermark pass — fold the dirty-bucket count
+        into the same job and skip a full extra pass here).
         Returns the commit's lineage/metrics record.
         """
         t0 = time.monotonic()
@@ -249,22 +257,35 @@ class BucketedLakeTable:
         schema_json = json.dumps(schema.jsonValue())
 
         # align the batch to the merged schema
+        pre_key_types = {n: t for n, t in changes.dtypes if n in self.key_cols}
         for f_ in schema.fields:
             if f_.name not in changes.columns:
                 changes = changes.withColumn(f_.name, F.lit(None).cast(f_.dataType))
             else:
                 changes = changes.withColumn(f_.name, F.col(f_.name).cast(f_.dataType))
         changes = changes.select(*[f_.name for f_ in schema.fields])
+        if bucket_stats is not None:
+            # caller-side stats hashed the PRE-alignment key values; if the
+            # alignment widened a key column, F.hash changes with the type
+            # (hash(5::int) != hash(5::bigint)) and the dirty set would be
+            # wrong — recompute below instead
+            post_key_types = {n: t for n, t in changes.dtypes if n in self.key_cols}
+            if post_key_types != pre_key_types:
+                bucket_stats = None
 
         # (watermark gating happens in the applier, pre-merge: T5/T6)
         wms = (m or {}).get("watermarks", {})
-        bucket_expr = F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets))
+        bucket_expr = self.bucket_expr()
         if not input_cached:  # callers with an already-persisted frame skip
             changes = changes.persist()
-        # one action yields both the dirty-bucket set and the input count
-        bucket_counts = changes.groupBy(bucket_expr.alias("b")).count().collect()
-        n_changes = int(sum(r["count"] for r in bucket_counts))
-        dirty = sorted(r["b"] for r in bucket_counts)
+        if bucket_stats is None:
+            # one action yields both the dirty-bucket set and the input count
+            bucket_stats = [
+                (r["b"], r["count"])
+                for r in changes.groupBy(bucket_expr.alias("b")).count().collect()
+            ]
+        n_changes = int(sum(c for _b, c in bucket_stats))
+        dirty = sorted(b for b, _c in bucket_stats)
         old_files = (m or {}).get("files", {})
 
         # --- merge-on-read append: batch-reduce, then write ONLY the batch --
