@@ -137,6 +137,35 @@ def q_cdc_streaming_restart(spark, sf_dir):
     return table.read().select("event_id", "user_id", "event_type", "value", "props")
 
 
+def q_cdc_change_feed(spark, sf_dir):
+    """CDC-out: the lake table's change feed (read_changes) after applying
+    the op stream — batch-reduced upserts + tombstones per commit (Delta
+    CDF / Iceberg changelog analogue, served from the merge-on-read delta
+    files at zero extra write cost)."""
+    import tempfile
+
+    from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+    from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+    events = harness.events_cdc_stream(spark, sf_dir)
+    env = decode_changes(events)
+    table = BucketedLakeTable(
+        spark, tempfile.mkdtemp(prefix="cdc_feed_"), ["event_id"], n_buckets=8
+    )
+    TranscriptsApplier(
+        spark,
+        table,
+        column_names=["event_id", "user_id", "event_type", "value", "props"],
+        key_positions=(0,),
+    ).apply_batch(env, batch_id=0)
+    feed = table.read_changes()
+    # tombstones carry NULL payload; coalesce so the compare never hits
+    # nullable-double NaN asymmetries between engines
+    return feed.select(
+        "event_id", F.coalesce(F.col("value"), F.lit(-1.0)).alias("value"), "_deleted"
+    )
+
+
 def q_cdc_partial_update(spark, sf_dir):
     """PARTIAL_UPDATE_ROWS(39): partial-JSON diffs decode to the
     ``{"$partial": [...]}`` envelope form (reference routes type 39 as a
@@ -505,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_table_filter": q_cdc_table_filter,
         "cdc_partial_update": q_cdc_partial_update,
         "cdc_streaming_restart": q_cdc_streaming_restart,
+        "cdc_change_feed": q_cdc_change_feed,
         "lww_dedup_events": q_lww_dedup_events,
         "lww_dedup_salted_events": q_lww_dedup_salted_events,
         "event_type_filter": q_event_type_filter,
@@ -577,6 +607,14 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value,
                    props
             FROM events WHERE event_type <> 'click'
+        """,
+        "cdc_change_feed": """
+            SELECT event_id,
+                   CASE WHEN event_type = 'click' THEN -1.0
+                        WHEN event_id % 3 = 0 THEN value * 2
+                        ELSE value END AS value,
+                   (event_type = 'click') AS _deleted
+            FROM events
         """,
         "cdc_partial_update": """
             SELECT event_id,

@@ -188,6 +188,41 @@ class BucketedLakeTable:
             df = df.drop(*META_COLS, "_bucket")
         return df
 
+    def read_changes(
+        self, from_version: int = 1, to_version: int | None = None
+    ) -> DataFrame:
+        """Change feed (CDC-out): the change rows committed in versions
+        ``[from_version, to_version]``, with a ``_commit_version`` column —
+        the incremental-consumer API (Delta CDF / Iceberg changelog
+        analogue).  Served directly from each commit's delta files: the
+        merge-on-read layout already materializes exactly these rows, so
+        the feed costs no extra storage or write work.  Rows are
+        batch-reduced upserts/tombstones (``_deleted`` = delete).
+
+        Compaction rewrites manifests but never deletes data files, so
+        feeds over folded history stay readable; a future vacuum must
+        retain delta files within the changelog retention window."""
+        m = self._read_manifest()
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        hi = m["version"] if to_version is None else to_version
+        parts = []
+        for rec in m.get("lineage", []):
+            v = rec.get("version")
+            files = rec.get("delta_files")
+            if files and from_version <= v <= hi and not rec.get("compaction"):
+                parts.append(
+                    self._read_files(files, m["schema"]).withColumn(
+                        "_commit_version", F.lit(int(v))
+                    )
+                )
+        if not parts:
+            empty = self._read_files([], m["schema"])
+            return empty.withColumn("_commit_version", F.lit(0)).limit(0)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
     def watermarks(self) -> dict:
         return self._read_manifest().get("watermarks", {}) if self.exists() else {}
 
@@ -315,6 +350,7 @@ class BucketedLakeTable:
 
         new_files = dict(old_files)
         written = []
+        delta_files = []
         for b in dirty:
             bdir = os.path.join(out_dir, f"_bucket={b}")
             parts = (
@@ -324,6 +360,7 @@ class BucketedLakeTable:
             )
             new_files[str(b)] = old_files.get(str(b), []) + parts
             written.extend(parts)
+            delta_files.extend(parts)
 
         # --- bounded read amplification: fold over-threshold buckets --------
         folded = [
@@ -359,6 +396,10 @@ class BucketedLakeTable:
             "buckets_folded": folded,
             "files_written": len(written),
             "bytes_written": bytes_written,
+            # the commit's delta files (pre-fold) ARE the change feed for
+            # this version — read_changes() serves downstream incremental
+            # consumers straight from them, no extra changelog copy
+            "delta_files": delta_files,
             "schema_evolution": evolution,
             "wall_ms": round((time.monotonic() - t0) * 1000, 2),
             **(extra_lineage or {}),

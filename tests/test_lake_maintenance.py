@@ -207,3 +207,34 @@ class TestMaintenance:
         assert files_after[dirty] != files_before.get(dirty)
         got = {r.k: r.val for r in table20.read().collect()}
         assert got[1] == "updated"
+
+
+class TestChangeFeed:
+    def test_read_changes_versions(self, spark, table):
+        table.merge(_mk_changes(spark, [("a", 0, "v1", 1, False),
+                                        ("b", 0, "w1", 1, False)]), batch_id=0)
+        table.merge(_mk_changes(spark, [("a", 0, "v2", 2, False)]), batch_id=1)
+        table.merge(_mk_changes(spark, [("b", 0, None, 3, True)]), batch_id=2)
+
+        feed = table.read_changes(2, 3).collect()
+        got = {(r.conv_id, r._commit_version): (r.text, r._deleted) for r in feed}
+        assert got == {("a", 2): ("v2", False), ("b", 3): (None, True)}
+
+        all_feed = table.read_changes()
+        assert all_feed.count() == 4  # 2 + 1 + 1 batch-reduced change rows
+
+    def test_feed_survives_compaction(self, spark, table):
+        table.merge(_mk_changes(spark, [("a", 0, "v1", 1, False)]), batch_id=0)
+        table.merge(_mk_changes(spark, [("a", 0, "v2", 2, False)]), batch_id=1)
+        table.compact()
+        feed = table.read_changes(1, 2)
+        assert {(r._commit_version, r.text) for r in feed.collect()} == {
+            (1, "v1"), (2, "v2")
+        }
+
+    def test_batch_internal_reduction(self, spark, table):
+        # two changes to one key in a single batch -> one feed row (the LWW)
+        table.merge(_mk_changes(spark, [("a", 0, "v1", 1, False),
+                                        ("a", 0, "v2", 2, False)]), batch_id=0)
+        feed = table.read_changes().collect()
+        assert [(r.text, r._commit_version) for r in feed] == [("v2", 1)]
