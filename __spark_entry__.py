@@ -394,6 +394,11 @@ def q_simhash_docs(spark, sf_dir):
     return fuzzy.simhash(docs, bits=16)
 
 
+def q_simhash_dup_pairs(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return fuzzy.simhash_dup_pairs(docs, bits=32, n_bands=4, max_hamming=3)
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     # fixed blocking: compare doc_id with doc_id+1 (deterministic pair set);
@@ -553,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_pairs": q_minhash_dup_pairs,
         "minhash_dup_clusters": q_minhash_dup_clusters,
         "simhash_docs": q_simhash_docs,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -795,6 +801,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY node
         """,
         "simhash_docs": fuzzy.simhash_sql("documents", "text", "doc_id", 16),
+        "simhash_dup_pairs": fuzzy.simhash_dup_pairs_sql(
+            "documents", "text", "doc_id", bits=32, n_bands=4, max_hamming=3
+        ),
         "ngram_jaccard_pairs": f"""
             WITH {shingle_cte},
             sets AS (SELECT doc_id, list(DISTINCT sh) AS shset FROM shingled GROUP BY doc_id),

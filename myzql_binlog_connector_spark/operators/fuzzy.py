@@ -244,6 +244,95 @@ def simhash_sql(
     """
 
 
+def simhash_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via Hamming-ball banding (the pigeonhole
+    trick: two hashes within ``max_hamming`` bits must agree exactly on at
+    least one of ``n_bands`` bit-bands when max_hamming < n_bands) —
+    candidates equi-join on (band, band_bits), then an exact popcount(xor)
+    verify.  Never all-pairs; the same b×r shape as MinHash banding, so it
+    scales identically at 10^9 docs."""
+    if max_hamming >= n_bands:
+        raise ValueError("pigeonhole needs max_hamming < n_bands")
+    sh = simhash(df, text_col, id_col, bits=bits)
+    width = bits // n_bands
+    bands = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bb"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bm"),
+    ).select(id_col, "simhash", "bm.band", "bm.bb")
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bb") == F.col("r.bb"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_dup_pairs_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> str:
+    """DuckDB mirror of :func:`simhash_dup_pairs`."""
+    width = bits // n_bands
+    inner = simhash_sql(table, text_expr, id_col, bits=bits).strip()
+    band_vals = ", ".join(
+        f"({b}, (simhash >> {b * width}) & {(1 << width) - 1})"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sh AS ({inner}),
+    bands AS (
+      SELECT {id_col}, simhash, band, bb FROM sh,
+      LATERAL (VALUES {band_vals}) AS v(band, bb)
+    ),
+    cand AS (
+      SELECT DISTINCT l.{id_col} AS id_a, r.{id_col} AS id_b,
+             l.simhash AS sh_a, r.simhash AS sh_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bb = r.bb AND l.{id_col} < r.{id_col}
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+    """
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, over LSH candidates or a provided pair set)
 # ---------------------------------------------------------------------------
