@@ -372,6 +372,13 @@ class TranscriptsApplier:
         )
         return joined.filter(keep).drop("wm_file_seq", "wm_log_pos", "wm_eri")
 
+    def apply_envelope_subset(
+        self, envelope: DataFrame, batch_id: int | None, descs: list[str]
+    ) -> dict:
+        """Apply a pre-filtered (single-table) envelope with known descs."""
+        typed = self.typed_changes(envelope, descs=descs)
+        return self._merge_typed(typed, batch_id)
+
     def apply_batch(
         self,
         envelope: DataFrame,
@@ -395,6 +402,111 @@ class TranscriptsApplier:
         try:
             typed = self.typed_changes(envelope, descs=descs)
             return self._merge_typed(typed, batch_id)
+        finally:
+            if raw_events is None:
+                envelope.unpersist()
+
+
+class MultiTableApplier:
+    """Fan-out CDC apply: one decoded change stream → one BucketedLakeTable
+    per source (database, table).
+
+    The reference logs all tables into a single output stream; a lake
+    deployment lands each source table in its own merge table.  Routing is
+    a cheap partition-pruned filter per table (the envelope carries
+    database/table_name columns), schemas come from each table's own
+    TABLE_MAP descriptors, and every per-table merge keeps the same
+    exactly-once watermark contract.  Tables are discovered from the
+    batch's descriptors — a brand-new source table starts landing without
+    any registration step.
+
+    ``table_specs``: optional {(db, table): {"column_names": [...],
+    "key_positions": (...), "n_buckets": N}} overrides; unlisted tables
+    default to position-named columns (c0..cN) keyed on position 0.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root_path: str,
+        table_specs: dict | None = None,
+        default_key_positions: tuple[int, ...] = (0,),
+        n_buckets: int = 64,
+    ):
+        import os
+
+        self.spark = spark
+        self.root_path = root_path
+        self.table_specs = dict(table_specs or {})
+        self.default_key_positions = tuple(default_key_positions)
+        self.n_buckets = n_buckets
+        self._os = os
+
+    def table_path(self, database: str, table: str) -> str:
+        return self._os.path.join(self.root_path, database, table)
+
+    def table_for(self, database: str, table: str, column_names=None, key_positions=None):
+        from .lake import BucketedLakeTable
+
+        spec = self.table_specs.get((database, table), {})
+        names = column_names or spec.get("column_names")
+        keys = key_positions or spec.get("key_positions", self.default_key_positions)
+        if names:
+            key_cols = [names[i] for i in keys]
+        else:
+            key_cols = [f"c{i}" for i in keys]
+        return BucketedLakeTable(
+            self.spark,
+            self.table_path(database, table),
+            key_cols,
+            n_buckets=spec.get("n_buckets", self.n_buckets),
+        )
+
+    def apply_batch(
+        self,
+        envelope: DataFrame,
+        batch_id: int | None = None,
+        raw_events: DataFrame | None = None,
+    ) -> dict:
+        """Route the batch per (database, table) and merge each into its own
+        lake table.  Returns {(db, table): commit_record}."""
+        from ..functions.decode import scan_schemas
+
+        if raw_events is not None:
+            desc_rows = scan_schemas(raw_events).collect()
+        else:
+            envelope = envelope.persist()
+            desc_rows = (
+                envelope.select("database", "table_name", "payload_schema")
+                .distinct()
+                .collect()
+            )
+        by_table: dict = {}
+        for r in desc_rows:
+            by_table.setdefault((r["database"], r["table_name"]), []).append(
+                r["payload_schema"]
+            )
+        records = {}
+        try:
+            for (db, tbl), descs in sorted(by_table.items()):
+                spec = self.table_specs.get((db, tbl), {})
+                names = spec.get("column_names")
+                keys = spec.get("key_positions", self.default_key_positions)
+                table = self.table_for(db, tbl)
+                applier = TranscriptsApplier(
+                    self.spark,
+                    table,
+                    column_names=names or (),
+                    extra_names=(),
+                    key_positions=tuple(keys),
+                )
+                subset = envelope.filter(
+                    (F.col("database") == db) & (F.col("table_name") == tbl)
+                )
+                records[(db, tbl)] = applier.apply_envelope_subset(
+                    subset, batch_id, descs
+                )
+            return records
         finally:
             if raw_events is None:
                 envelope.unpersist()

@@ -1,0 +1,96 @@
+"""MultiTableApplier: one change stream fans out into per-(db, table)
+lake tables with independent schemas, keys, and watermarks."""
+
+from __future__ import annotations
+
+import pytest
+
+from myzql_binlog_connector_spark.binlog.constants import ColumnType
+from myzql_binlog_connector_spark.binlog.encoder import (
+    ColumnSpec,
+    EventWriter,
+    TableSchema,
+    TRANSCRIPTS_SCHEMA,
+)
+from myzql_binlog_connector_spark.functions.decode import decode_changes
+from myzql_binlog_connector_spark.harness import _events_df_from_writer
+from myzql_binlog_connector_spark.plans.apply import MultiTableApplier
+
+TS = 1_700_000_000_000_000
+
+USERS_SCHEMA = TableSchema(
+    database="app",
+    table="users",
+    columns=(
+        ColumnSpec(ColumnType.LONGLONG, 0, False),
+        ColumnSpec(ColumnType.VARCHAR, 64),
+    ),
+    column_names=("user_id", "name"),
+)
+
+
+def _two_table_stream():
+    w = EventWriter(server_id=1)
+    w.format_description()
+    w.table_map(5, TRANSCRIPTS_SCHEMA)
+    w.table_map(6, USERS_SCHEMA)
+    w.write_rows(5, TRANSCRIPTS_SCHEMA,
+                 [("conv-a", 0, "user", "hello", None, TS),
+                  ("conv-a", 1, "assistant", "hi", None, TS + 1)])
+    w.write_rows(6, USERS_SCHEMA, [(1, "ada"), (2, "grace")])
+    w.update_rows(6, USERS_SCHEMA, [((1, "ada"), (1, "ada lovelace"))])
+    w.delete_rows(5, TRANSCRIPTS_SCHEMA,
+                  [("conv-a", 1, "assistant", "hi", None, TS + 1)])
+    w.rotate("binlog.000002")
+    return w
+
+
+def test_fan_out_two_tables(spark, tmp_path):
+    env = decode_changes(_events_df_from_writer(spark, [_two_table_stream()]))
+    mt = MultiTableApplier(
+        spark,
+        str(tmp_path / "lake"),
+        table_specs={
+            ("chat", "transcripts"): {
+                "column_names": ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+                "key_positions": (0, 1),
+                "n_buckets": 4,
+            },
+            ("app", "users"): {
+                "column_names": ["user_id", "name"],
+                "key_positions": (0,),
+                "n_buckets": 4,
+            },
+        },
+    )
+    records = mt.apply_batch(env, batch_id=0)
+    assert set(records) == {("chat", "transcripts"), ("app", "users")}
+
+    tr = mt.table_for("chat", "transcripts").read()
+    assert {(r.conv_id, r.turn_idx, r.text) for r in tr.collect()} == {
+        ("conv-a", 0, "hello")
+    }
+    us = mt.table_for("app", "users").read()
+    assert {(r.user_id, r.name) for r in us.collect()} == {
+        (1, "ada lovelace"), (2, "grace")
+    }
+
+    # redelivery of the same batch is a no-op per table
+    records2 = mt.apply_batch(env, batch_id=1)
+    assert all(r.get("skipped") for r in records2.values())
+    assert mt.table_for("app", "users").read().count() == 2
+
+
+def test_unregistered_table_defaults(spark, tmp_path):
+    """A table with no spec lands with positional column names keyed on c0."""
+    w = EventWriter(server_id=1)
+    w.format_description()
+    w.table_map(9, USERS_SCHEMA)
+    w.write_rows(9, USERS_SCHEMA, [(7, "x"), (8, "y")])
+    w.rotate("binlog.000002")
+    env = decode_changes(_events_df_from_writer(spark, [w]))
+    mt = MultiTableApplier(spark, str(tmp_path / "lake"), n_buckets=4)
+    mt.apply_batch(env, batch_id=0)
+    df = mt.table_for("app", "users").read()
+    assert set(df.columns) == {"c0", "c1"}
+    assert df.count() == 2
