@@ -630,7 +630,12 @@ class BinlogSession:
     persists across segment (file) boundaries, like the reference reader's.
     """
 
-    def __init__(self, table_filter=None, stop_position: tuple[int, int] | None = None):
+    def __init__(
+        self,
+        table_filter=None,
+        stop_position: tuple[int, int] | None = None,
+        verify_crc: bool = False,
+    ):
         self.table_maps: dict[int, TableSchema] = {}
         self._schema_desc: dict[int, str] = {}  # table_id -> compact JSON desc
         self._decoders: dict[int, list] = {}  # table_id -> compiled column decoders
@@ -650,6 +655,10 @@ class BinlogSession:
         self.current_event_seq: int = 0
         self.current_file_seq: int | None = None
         self.table_filter = table_filter  # callable (db, table) -> bool
+        # optional per-packet CRC32 validation (the reference only trims the
+        # checksum; verification is engine-extra).  Applied to packets that
+        # reach full processing — fast-skipped event kinds are not checked.
+        self.verify_crc = verify_crc
         self.stop_position = stop_position  # (file_seq, pos): exclusive
         self.stopped = False
         self.events_seen = 0
@@ -692,6 +701,15 @@ class BinlogSession:
             self.current_event_seq += 1
             return None
         body = mv[1 : len(mv) - CRC_LEN]
+        if self.verify_crc:
+            import zlib
+
+            want = int.from_bytes(mv[len(mv) - CRC_LEN :], "little")
+            if (zlib.crc32(body) & 0xFFFFFFFF) != want:
+                raise ValueError(
+                    f"CRC32 mismatch in packet at file_seq={file_seq} "
+                    f"(event_type={et0})"
+                )
         hdr = parse_header(body)
         payload = body[HEADER_LEN:]
 

@@ -82,7 +82,8 @@ def _env_to_batch(out) -> pa.RecordBatch:
     )
 
 
-def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 8192):
+def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 8192,
+                 verify_crc: bool = False):
     """Build the mapInArrow function.  One BinlogSession per partition: the
     table-map cache persists across Arrow batches within the partition,
     matching the reference reader whose cache lives for the connection.
@@ -92,7 +93,9 @@ def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 81
     from ..binlog.decoder import EnvelopeBatch
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        session = BinlogSession(table_filter=table_filter, stop_position=stop_position)
+        session = BinlogSession(
+            table_filter=table_filter, stop_position=stop_position, verify_crc=verify_crc
+        )
         out = EnvelopeBatch()
         for batch in batches:
             file_seqs = batch.column("file_seq").to_pylist()
@@ -447,6 +450,7 @@ def decode_changes(
     table_filter=None,
     stop_position: tuple[int, int] | None = None,
     already_partitioned: bool = False,
+    verify_crc: bool = False,
 ) -> DataFrame:
     """Decode a DataFrame of raw framed packets into the change envelope.
 
@@ -470,6 +474,10 @@ def decode_changes(
         n = events_df.sparkSession.sparkContext.defaultParallelism
         df = df.repartition(n, "file_seq").sortWithinPartitions("file_seq", "offset")
     return df.mapInArrow(
-        make_decoder(table_filter=table_filter, stop_position=stop_position),
+        make_decoder(
+            table_filter=table_filter,
+            stop_position=stop_position,
+            verify_crc=verify_crc,
+        ),
         schema=ENVELOPE_SCHEMA,
     )

@@ -200,3 +200,35 @@ class TestRowsV1Framing:
         for variant in outs.values():
             assert [{k: r[k] for k in keys} for r in variant] == base
         assert len(base) == 7  # 5 inserts + 1 update + 1 delete
+
+
+class TestCrcVerification:
+    def test_corrupt_packet_detected(self):
+        w = EventWriter()
+        w.format_description()
+        w.table_map(5, TRANSCRIPTS_SCHEMA)
+        w.write_rows(5, TRANSCRIPTS_SCHEMA,
+                     [("c", 0, "user", "x", None, 1_700_000_000_000_000)])
+        packets = [pkt for _, pkt in w.events]
+        # flip a payload byte of the ROWS packet, keep the old CRC
+        bad = bytearray(packets[-1])
+        bad[25] ^= 0xFF
+        sess = BinlogSession(verify_crc=True)
+        for pkt in packets[:-1]:
+            list(sess.process_packet(pkt, file_seq=1))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="CRC32 mismatch"):
+            list(sess.process_packet(bytes(bad), file_seq=1))
+
+    def test_clean_stream_passes(self):
+        w = EventWriter()
+        w.format_description()
+        w.table_map(5, TRANSCRIPTS_SCHEMA)
+        w.write_rows(5, TRANSCRIPTS_SCHEMA,
+                     [("c", 0, "user", "x", None, 1_700_000_000_000_000)])
+        sess = BinlogSession(verify_crc=True)
+        rows = []
+        for _, pkt in w.events:
+            rows.extend(sess.process_packet(pkt, file_seq=1))
+        assert len(rows) == 1
