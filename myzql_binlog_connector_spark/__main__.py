@@ -22,7 +22,14 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="myzql_binlog_connector_spark")
-    ap.add_argument("--config", required=True, help="path to config JSON")
+    # reference CLI shape: [-v] [--log-file <path>] <config.json>
+    ap.add_argument("config_pos", nargs="?", default=None,
+                    help="path to config JSON (positional, reference-style)")
+    ap.add_argument("--config", default=None, help="path to config JSON")
+    ap.add_argument("-v", "--verbose", action="store_true",
+                    help="INFO-level Spark logs (default ERROR)")
+    ap.add_argument("--log-file", default=None,
+                    help="append the run summary (and errors) to this file")
     ap.add_argument("--master", default="local[*]", help="Spark master")
     ap.add_argument(
         "--output",
@@ -32,12 +39,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args(argv)
+    cfg_path = args.config or args.config_pos
+    if not cfg_path:
+        ap.error("a config JSON path is required (positional or --config)")
 
     from pyspark.sql import SparkSession
 
     from .config import ReplayConfig, run_replay
 
-    cfg = ReplayConfig.from_json(args.config)
+    cfg = ReplayConfig.from_json(cfg_path)
     builder = (
         SparkSession.builder.master(args.master)
         .appName("myzql-binlog-connector-spark")
@@ -51,7 +61,7 @@ def main(argv: list[str] | None = None) -> int:
             "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
         )
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel("INFO" if args.verbose else "ERROR")
     try:
         records, df = run_replay(spark, cfg)
         if cfg.output_mode == "envelope":
@@ -69,7 +79,11 @@ def main(argv: list[str] | None = None) -> int:
                 "final_rows": df.count(),
                 "table_path": cfg.table_path,
             }
-        print(json.dumps(summary))
+        line = json.dumps(summary)
+        print(line)
+        if args.log_file:
+            with open(args.log_file, "a") as f:
+                f.write(line + "\n")
         return 0
     finally:
         spark.stop()

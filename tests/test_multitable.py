@@ -94,3 +94,46 @@ def test_unregistered_table_defaults(spark, tmp_path):
     df = mt.table_for("app", "users").read()
     assert set(df.columns) == {"c0", "c1"}
     assert df.count() == 2
+
+
+def test_streaming_replay_with_multitable(spark, tmp_path):
+    """BinlogReplayStream duck-types over any applier with apply_batch:
+    fan-out apply works per micro-batch with checkpointing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from myzql_binlog_connector_spark.streaming.replay import BinlogReplayStream
+
+    w = _two_table_stream()
+    seg = tmp_path / "seg"
+    seg.mkdir()
+    rows = [(1, off, i + 1, i + 1, pkt[5], pkt) for i, (off, pkt) in enumerate(w.events)]
+    pq.write_table(
+        pa.table({
+            "file_seq": pa.array([r[0] for r in rows], pa.int32()),
+            "offset": pa.array([r[1] for r in rows], pa.int64()),
+            "gtid": pa.array([r[2] for r in rows], pa.int64()),
+            "event_seq": pa.array([r[3] for r in rows], pa.int64()),
+            "event_type": pa.array([r[4] for r in rows], pa.int8()),
+            "event_blob": pa.array([r[5] for r in rows], pa.binary()),
+        }),
+        str(seg / "segment-000001.parquet"),
+    )
+    mt = MultiTableApplier(
+        spark, str(tmp_path / "lake"),
+        table_specs={
+            ("chat", "transcripts"): {
+                "column_names": ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+                "key_positions": (0, 1), "n_buckets": 4,
+            },
+            ("app", "users"): {
+                "column_names": ["user_id", "name"],
+                "key_positions": (0,), "n_buckets": 4,
+            },
+        },
+    )
+    BinlogReplayStream(
+        spark, str(seg), mt, checkpoint_dir=str(tmp_path / "ckpt")
+    ).run_to_completion()
+    assert mt.table_for("app", "users").read().count() == 2
+    assert mt.table_for("chat", "transcripts").read().count() == 1
