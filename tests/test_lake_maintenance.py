@@ -238,3 +238,23 @@ class TestChangeFeed:
                                         ("a", 0, "v2", 2, False)]), batch_id=0)
         feed = table.read_changes().collect()
         assert [(r.text, r._commit_version) for r in feed] == [("v2", 1)]
+
+
+class TestFoldWithEvolution:
+    def test_fold_preserves_evolved_columns(self, spark, tmp_path):
+        """Folding a bucket whose delta files have heterogeneous physical
+        schemas (column added mid-stream) must keep the evolved values."""
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        t = BucketedLakeTable(spark, str(tmp_path / "ev"), ["k"],
+                              n_buckets=2, max_files_per_bucket=2)
+        base = "k bigint, val string, _deleted boolean, _gtid bigint, _event_seq bigint, _event_row_index bigint"
+        wide = base + ", score double"
+        t.merge(spark.createDataFrame([(1, "a", False, 1, 0, 1)], base), batch_id=0)
+        t.merge(spark.createDataFrame([(1, "b", False, 2, 0, 1, 0.5)], wide), batch_id=1)
+        # third merge pushes the bucket over max_files_per_bucket -> fold
+        t.merge(spark.createDataFrame([(1, "c", False, 3, 0, 1, 0.9)], wide), batch_id=2)
+        m = t.snapshot_manifest()
+        assert any(r.get("buckets_folded") for r in m["lineage"])
+        rows = t.read().collect()
+        assert [(r.k, r.val, r.score) for r in rows] == [(1, "c", 0.9)]
