@@ -24,7 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-CDC_OPS_TARGET = int(os.environ.get("SPARK_GRAFT_CDC_OPS", "400000"))
+CDC_OPS_TARGET = int(os.environ.get("SPARK_GRAFT_CDC_OPS", "3200000"))
 SEED = 42
 
 
@@ -129,6 +129,9 @@ def bench_decode_only(spark, sf_tag: str) -> dict:
 
     seg_dir, n_ops = ensure_cdc_fixture(sf_tag)
     paths = sorted(glob.glob(os.path.join(seg_dir, "*.parquet")))
+    # python-worker warmup (fork + imports across all cores) is JVM/process
+    # cold start, not engine throughput — same policy as bench_cdc_replay
+    decode_segment_files(spark, paths[:2]).count()
     t0 = time.monotonic()
     n = decode_segment_files(spark, paths).count()
     wall = time.monotonic() - t0
@@ -141,8 +144,9 @@ def bench_decode_shuffle(spark, sf_tag: str) -> dict:
     from myzql_binlog_connector_spark.functions.decode import decode_changes
 
     seg_dir, n_ops = ensure_cdc_fixture(sf_tag)
-    t0 = time.monotonic()
     events = spark.read.parquet(seg_dir)
+    decode_changes(events.limit(4000)).count()  # worker warmup
+    t0 = time.monotonic()
     n = decode_changes(events).count()
     wall = time.monotonic() - t0
     return {"sec": round(wall, 3), "rows": n, "rows_per_sec": round(n / wall, 1)}
