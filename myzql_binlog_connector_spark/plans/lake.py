@@ -328,20 +328,42 @@ class BucketedLakeTable:
         # concentrate on one reducer); existing bucket data is NOT read or
         # rewritten — write cost is O(batch), readers resolve LWW across a
         # bucket's files, and the fold below bounds how many there can be.
+        #
+        # ONE shuffle total: repartition(n_buckets, keys) hash-partitions by
+        # Murmur3(keys) pmod n_buckets — exactly the bucket function — so
+        # the aggregate reuses that partitioning (ClusteredDistribution is
+        # already satisfied) and partition i holds precisely bucket i; the
+        # partitionBy write then needs no second shuffle and still produces
+        # one file per dirty bucket.
         row_struct = F.struct(*[F.col(f_.name) for f_ in schema.fields])
         ord_struct = F.struct(*[F.col(c) for c in order_cols])
-        reduced = (
-            changes.groupBy(*self.key_cols)
-            .agg(F.max_by(row_struct, ord_struct).alias("_row"))
-            .select("_row.*")
-            .withColumn("_bucket", bucket_expr)
-        )
+        # small batches (streaming micro-batches): the bucket-aligned plan
+        # would spawn n_buckets near-empty write tasks; a cheap second
+        # shuffle over the few dirty buckets wins there
+        aligned = n_changes >= self.n_buckets * 512
+        if aligned:
+            reduced = (
+                changes.repartition(
+                    self.n_buckets, *[F.col(c) for c in self.key_cols]
+                )
+                .groupBy(*self.key_cols)
+                .agg(F.max_by(row_struct, ord_struct).alias("_row"))
+                .select("_row.*")
+                .withColumn("_bucket", bucket_expr)
+            )
+        else:
+            reduced = (
+                changes.groupBy(*self.key_cols)
+                .agg(F.max_by(row_struct, ord_struct).alias("_row"))
+                .select("_row.*")
+                .withColumn("_bucket", bucket_expr)
+                .repartition(max(len(dirty), 1), "_bucket")
+            )
 
         version = (m["version"] + 1) if m else 1
         out_dir = os.path.join(self.path, "data", f"v{version}")
         (
-            reduced.repartition(max(len(dirty), 1), "_bucket")
-            .write.mode("overwrite")
+            reduced.write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(out_dir)
         )
