@@ -201,7 +201,9 @@ class BucketedLakeTable:
 
         Compaction rewrites manifests but never deletes data files, so
         feeds over folded history stay readable; a future vacuum must
-        retain delta files within the changelog retention window."""
+        retain delta files within the changelog retention window.
+        Retention = the lineage window (last 200 commits kept in the
+        manifest) — older versions age out of the feed."""
         m = self._read_manifest()
         schema = StructType.fromJson(json.loads(m["schema"]))
         hi = m["version"] if to_version is None else to_version

@@ -85,7 +85,11 @@ class BinlogReplayStream:
         # periodic maintenance: bin-pack small files and GC tombstones below
         # the low watermark (min applied gtid across source files — nothing
         # older can ever be redelivered with a higher gtid)
-        if self.compact_every and not record.get("skipped"):
+        if (
+            self.compact_every
+            and hasattr(self.applier, "table")  # multi-table appliers manage their own maintenance
+            and not record.get("skipped")
+        ):
             self._applied_since_compact += 1
             if self._applied_since_compact >= self.compact_every:
                 self._applied_since_compact = 0
