@@ -82,12 +82,22 @@ class BucketedLakeTable:
         key_cols: list[str],
         n_buckets: int = 64,
         max_files_per_bucket: int = 8,
+        aligned_writes: bool = False,
     ):
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
         self.max_files_per_bucket = max_files_per_bucket
+        # aligned_writes: merge with ONE shuffle by repartitioning on the
+        # keys into exactly n_buckets partitions (Murmur3 pmod n_buckets ==
+        # the bucket function, so partition i IS bucket i and the
+        # partitionBy write needs no second shuffle).  On a real cluster
+        # this halves merge network traffic; on a single shared-memory box
+        # the second shuffle is nearly free at high core counts, so the
+        # default keeps the two-shuffle plan (which also lets AQE pick the
+        # reduce parallelism independently of the bucket count).
+        self.aligned_writes = aligned_writes
 
     # ------------------------------------------------------------------
     # manifest plumbing
@@ -342,7 +352,7 @@ class BucketedLakeTable:
         # small batches (streaming micro-batches): the bucket-aligned plan
         # would spawn n_buckets near-empty write tasks; a cheap second
         # shuffle over the few dirty buckets wins there
-        aligned = n_changes >= self.n_buckets * 512
+        aligned = self.aligned_writes and n_changes >= self.n_buckets * 512
         if aligned:
             reduced = (
                 changes.repartition(
