@@ -74,6 +74,10 @@ def build_spark(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
+        )
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
         .getOrCreate()
