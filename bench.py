@@ -200,12 +200,15 @@ def main():
     dec_sh = bench_decode_shuffle(spark, sf_tag)
     queries["cdc_decode_shuffle"] = dec_sh["sec"]
 
+    from myzql_binlog_connector_spark.operators.fuzzy import release_cached
+
     for name in HEADLINE:
         fn = qfns[name]
         t0 = time.monotonic()
         # count() forces full execution without collecting rows to driver
         fn(spark, sf_dir).count()
         queries[name] = round(time.monotonic() - t0, 3)
+        release_cached()  # drop operator-persisted blocks between queries
 
     total = round(sum(queries.values()), 3)
     out = {

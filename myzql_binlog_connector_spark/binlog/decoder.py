@@ -656,8 +656,8 @@ class BinlogSession:
         self.current_file_seq: int | None = None
         self.table_filter = table_filter  # callable (db, table) -> bool
         # optional per-packet CRC32 validation (the reference only trims the
-        # checksum; verification is engine-extra).  Applied to packets that
-        # reach full processing — fast-skipped event kinds are not checked.
+        # checksum; verification is engine-extra).  Checked on EVERY packet,
+        # including event kinds the fast-skip path never decodes.
         self.verify_crc = verify_crc
         self.stop_position = stop_position  # (file_seq, pos): exclusive
         self.stopped = False
@@ -690,6 +690,18 @@ class BinlogSession:
         # 4B timestamp); events we neither decode nor track state for can
         # bail before any header parse — unless a stop bound needs log_pos
         et0 = mv[5]
+        if self.verify_crc:
+            # verify BEFORE the fast-skip branch so corruption in skipped
+            # kinds (XID/QUERY/...) is still caught — the option means
+            # "every packet", not "every decoded packet"
+            import zlib
+
+            want = int.from_bytes(mv[len(mv) - CRC_LEN :], "little")
+            if (zlib.crc32(mv[1 : len(mv) - CRC_LEN]) & 0xFFFFFFFF) != want:
+                raise ValueError(
+                    f"CRC32 mismatch in packet at file_seq={file_seq} "
+                    f"(event_type={et0})"
+                )
         if (
             self.stop_position is None
             and et0 not in ROWS_EVENT_TYPES
@@ -701,15 +713,6 @@ class BinlogSession:
             self.current_event_seq += 1
             return None
         body = mv[1 : len(mv) - CRC_LEN]
-        if self.verify_crc:
-            import zlib
-
-            want = int.from_bytes(mv[len(mv) - CRC_LEN :], "little")
-            if (zlib.crc32(body) & 0xFFFFFFFF) != want:
-                raise ValueError(
-                    f"CRC32 mismatch in packet at file_seq={file_seq} "
-                    f"(event_type={et0})"
-                )
         hdr = parse_header(body)
         payload = body[HEADER_LEN:]
 

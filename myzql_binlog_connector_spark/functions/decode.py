@@ -82,6 +82,38 @@ def _env_to_batch(out) -> pa.RecordBatch:
     )
 
 
+def _blob_views(arr) -> list:
+    """Zero-copy memoryviews over a (Large)Binary Arrow array's data buffer.
+
+    ``to_pylist()`` materializes every blob as Python ``bytes`` up front —
+    double the peak memory of the batch.  Slicing one memoryview over the
+    shared data buffer keeps the bytes where Arrow put them; the decoder
+    stack (wire/decoder/rowcodec) consumes buffer-protocol objects
+    throughout."""
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        out: list = []
+        for ch in arr.chunks:
+            out.extend(_blob_views(ch))
+        return out
+    n = len(arr)
+    if n == 0:
+        return []
+    bufs = arr.buffers()
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(
+        bufs[1],
+        dtype=off_dtype,
+        count=n + 1,
+        offset=arr.offset * np.dtype(off_dtype).itemsize,
+    )
+    # pyarrow Buffers export format 'b' (SIGNED char) — indexing would
+    # return negative ints for bytes > 0x7f; cast('B') is zero-copy
+    mv = memoryview(bufs[2]).cast("B")
+    return [mv[offs[i] : offs[i + 1]] for i in range(n)]
+
+
 def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 8192,
                  verify_crc: bool = False):
     """Build the mapInArrow function.  One BinlogSession per partition: the
@@ -101,7 +133,7 @@ def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 81
             file_seqs = batch.column("file_seq").to_pylist()
             gtids = batch.column("gtid").to_pylist()
             event_seqs = batch.column("event_seq").to_pylist()
-            blobs = batch.column("event_blob").to_pylist()
+            blobs = _blob_views(batch.column("event_blob"))
             for i in range(batch.num_rows):
                 session.process_packet_columnar(
                     blobs[i], file_seqs[i], gtids[i], event_seqs[i], out
@@ -363,7 +395,7 @@ def decode_segment_files(
                     file_seqs = tbl.column("file_seq").to_pylist()
                     gtids = tbl.column("gtid").to_pylist()
                     event_seqs = tbl.column("event_seq").to_pylist()
-                    blobs = tbl.column("event_blob").to_pylist()
+                    blobs = _blob_views(tbl.column("event_blob"))
                     out = EnvelopeBatch()
                     for i in range(tbl.num_rows):
                         session.process_packet_columnar(
@@ -417,9 +449,9 @@ def scan_schemas(events_df: DataFrame) -> DataFrame:
         seen: set[str] = set()
         rows: list[tuple[str, str, str]] = []
         for batch in batches:
-            blobs = batch.column("event_blob")
+            blobs = _blob_views(batch.column("event_blob"))
             for i in range(batch.num_rows):
-                blob = memoryview(blobs[i].as_py())
+                blob = blobs[i]
                 body = blob[1 : len(blob) - CRC_LEN]
                 if parse_header(body).event_type != EventType.TABLE_MAP:
                     continue

@@ -251,6 +251,111 @@ def decode_image(data: bytes) -> np.ndarray:
     raise CodecError(f"unsupported image format {fmt!r}")
 
 
+# ---------------------------------------------------------------------------
+# MP4 (ISO BMFF) metadata — a pure box parse, no ffmpeg needed.  Frame
+# DECODE still requires a real codec and stays stubbed at sample_frames.
+# ---------------------------------------------------------------------------
+
+
+def _iter_boxes(data, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for sibling boxes in
+    data[start:end] (ISO 14496-12 §4.2: 4B BE size + 4B type; size==1 →
+    64-bit largesize follows; size==0 → box extends to end)."""
+    pos = start
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", data, pos)[0]
+        btype = bytes(data[pos + 4 : pos + 8])
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise CodecError("truncated mp4 largesize box")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise CodecError(f"bad mp4 box size {size} at {pos}")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _find_box(data, btype: bytes, start: int, end: int):
+    for t, s, e in _iter_boxes(data, start, end):
+        if t == btype:
+            return s, e
+    return None
+
+
+def parse_mp4_meta(data: bytes) -> dict:
+    """moov/mvhd → duration_ms, first trak/tkhd with nonzero dims → w/h."""
+    moov = _find_box(data, b"moov", 0, len(data))
+    if moov is None:
+        raise CodecError("mp4 missing moov box")
+    duration_ms = width = height = None
+    for t, s, e in _iter_boxes(data, *moov):
+        if t == b"mvhd":
+            ver = data[s]
+            if ver == 1:
+                timescale = struct.unpack_from(">I", data, s + 4 + 16)[0]
+                duration = struct.unpack_from(">Q", data, s + 4 + 20)[0]
+            else:
+                timescale = struct.unpack_from(">I", data, s + 4 + 8)[0]
+                duration = struct.unpack_from(">I", data, s + 4 + 12)[0]
+            if timescale:
+                duration_ms = duration * 1000 // timescale
+        elif t == b"trak" and width is None:
+            tkhd = _find_box(data, b"tkhd", s, e)
+            if tkhd is None:
+                continue
+            ts, te = tkhd
+            ver = data[ts]
+            # after version/flags: v0 = c4 m4 id4 r4 dur4; v1 = c8 m8 id4 r4 dur8
+            fixed = ts + 4 + (32 if ver == 1 else 20)
+            # layer2 alt2 volume2 reserved2 matrix36 → width/height 16.16
+            w16, h16 = struct.unpack_from(">II", data, fixed + 8 + 2 + 2 + 2 + 2 + 36)
+            if w16 and h16:
+                width, height = w16 >> 16, h16 >> 16
+    return {"width": width, "height": height, "duration_ms": duration_ms}
+
+
+_MP4_MATRIX = struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+
+
+def encode_mp4_meta(width: int, height: int, duration_ms: int) -> bytes:
+    """Minimal valid metadata-only mp4 skeleton: ftyp + moov(mvhd, trak
+    (tkhd)).  No media data — enough for parse_mp4_meta / a metadata
+    pipeline to round-trip, and for workers to synthesize test payloads."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    timescale = 1000
+    mvhd = box(
+        b"mvhd",
+        bytes(4)  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, duration_ms)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + bytes(2 + 8)  # reserved
+        + _MP4_MATRIX
+        + bytes(24)  # pre_defined
+        + struct.pack(">I", 2),  # next_track_id
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"  # version 0, flags: enabled|in-movie|in-preview
+        + struct.pack(">IIII", 0, 0, 1, 0)  # created, modified, track_id, reserved
+        + struct.pack(">I", duration_ms)
+        + bytes(8)  # reserved
+        + struct.pack(">hhHH", 0, 0, 0, 0)  # layer, alt_group, volume, reserved
+        + _MP4_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
+
+
 def media_meta(data: bytes) -> dict:
     """Real metadata extraction for sniffable formats."""
     fmt = sniff_format(data)
@@ -267,9 +372,8 @@ def media_meta(data: bytes) -> dict:
     elif fmt == "wav":
         meta["duration_ms"] = decode_wav(data)["duration_ms"]
     elif fmt == "mp4":
-        raise NotImplementedError(
-            "video containers need ffmpeg — not in this container"
-        )
+        # box parse only (moov/mvhd/tkhd) — frame decode still needs ffmpeg
+        meta.update(parse_mp4_meta(data))
     else:
         raise CodecError("unrecognized media payload")
     return meta

@@ -20,6 +20,40 @@ from pyspark.sql import DataFrame, functions as F
 
 from .text import h60, h60_sql, normalize_sql, shingle_rows, shingle_sets
 
+#: DataFrames persisted by fuzzy operators for intra-query reuse.  A lazy
+#: return value can't know when its caller materializes it, so blocks are
+#: released (a) explicitly via :func:`release_cached`, and (b) automatically
+#: at the start of the next top-level fuzzy operator call — bounding cached
+#: storage to one query's intermediates in a long-lived driver.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_cached() -> int:
+    """Unpersist every block cached by fuzzy operators; returns the count.
+    Call after materializing an operator's result (bench.py does)."""
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+        n += 1
+    return n
+
+
+def _untrack_unpersist(df: DataFrame) -> None:
+    try:
+        _PERSISTED.remove(df)
+    except ValueError:
+        pass
+    df.unpersist()
+
 
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Ensure enough input partitions for the compute-heavy hash stages: a
@@ -142,6 +176,7 @@ def minhash_dup_pairs(
     Jaccard from row-level (pair, shingle) equi-joins — no collect_set
     arrays ever ship through a join (they'd blow task memory at 10^9
     docs with long documents)."""
+    release_cached()  # free blocks left by a previous fuzzy query
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     n_bands = n_hashes // band_rows
     # band key = concat of the band's r minhashes
@@ -178,10 +213,12 @@ def minhash_dup_pairs(
     )
     # candidate pairs are re-read several times by the verifier (ids,
     # intersection, base) — persist so the banding self-join runs once;
-    # the frame is candidate-sized, orders of magnitude below the corpus
-    cand = cand.persist()
+    # the frame is candidate-sized, orders of magnitude below the corpus.
+    # Tracked: released by release_cached() / the next fuzzy operator call.
+    cand = _persist_tracked(cand)
     return ngram_jaccard(
-        df, cand, text_col, id_col, shingle_k, threshold=jaccard_threshold
+        df, cand, text_col, id_col, shingle_k, threshold=jaccard_threshold,
+        release_first=False,
     )
 
 
@@ -346,26 +383,36 @@ def ngram_jaccard(
     shingle_k: int = 5,
     threshold: float = 0.0,
     verify: str = "auto",
-    max_broadcast_docs: int = 50_000,
+    max_broadcast_shingles: int = 5_000_000,
+    release_first: bool = True,
 ) -> DataFrame:
     """Exact char-n-gram Jaccard for given candidate pairs (id_a, id_b).
 
     Only the documents appearing in ``pairs`` are shingled (semi-join
     pushdown).  Two verify strategies — the problem is bimodal:
 
-    ``broadcast``  when the candidate documents fit a broadcast
-        (≤ ``max_broadcast_docs``): shingles are interned to int64 ids,
-        per-doc sorted id arrays are broadcast, and a vectorized
-        ``mapInPandas`` computes |A∩B| with ``np.intersect1d`` — candidate
-        pairs never shuffle and no shingle arrays ship through a join.
-        This wins when the candidate graph is dense (every doc in many
-        pairs): per-doc data moves once, not once per pair.
+    ``broadcast``  when the candidate documents' total shingle volume fits
+        a broadcast (≤ ``max_broadcast_shingles`` int64 ids ≈ 8 bytes each
+        — byte-denominated, so a small corpus of huge documents can't blow
+        the driver): per-doc shingle-hash id lists are packed into one flat
+        CSR array and broadcast; a ``mapInPandas`` verifier computes every
+        pair's |A∩B| in ONE vectorized ``np.intersect1d`` per Arrow batch
+        (pair-composite keys + bincount — no per-pair Python loop).
+        Candidate pairs never shuffle and no shingle arrays ship through a
+        join.  This wins when the candidate graph is dense (every doc in
+        many pairs): per-doc data moves once, not once per pair.
     ``rows``  the unbounded-scale path: |A∩B| from row-level
         (pair, shingle) equi-joins, |A∪B| = |A|+|B|−|A∩B| from per-doc
         counts.  One row per (doc, gram) — a pathological 100 MB document
         costs rows, not task or driver memory.
-    ``auto``  picks ``broadcast`` iff the candidate-doc count is under the
-        cap (one cheap count over the pair ids).
+    ``auto``  picks ``broadcast`` iff the candidate shingle-row count is
+        under the cap (counted on the persisted shingle frame, which both
+        strategies materialize anyway).
+
+    The broadcast verifier identifies shingles by their 60-bit md5 hash
+    (``h60``) instead of a join-interned id — one less shuffle; a same-doc
+    hash collision would perturb one pair's count with probability
+    ~|doc|²/2^61 (negligible; the ``rows`` path is collision-free).
 
     Either way the division + rounding happens JVM-side (``F.round``), so
     results are bit-identical across strategies and to the DuckDB oracle.
@@ -373,59 +420,91 @@ def ngram_jaccard(
     semantics); zero-intersection pairs keep jaccard 0.0."""
     if pairs is None:
         raise ValueError("provide candidate pairs (e.g. from minhash banding)")
+    if release_first:
+        release_cached()
     spark = df.sparkSession
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    if verify == "auto":
-        verify = (
-            "broadcast" if cand_ids.count() <= max_broadcast_docs else "rows"
-        )
     docs = _spread(df.select(id_col, text_col), id_col).join(
         cand_ids, id_col, "left_semi"
     )
     # read multiple times below in both strategies: persist the
     # candidate-only shingle rows instead of re-exploding
-    sh = shingle_rows(docs, text_col, id_col, k=shingle_k).distinct().persist()
+    sh = _persist_tracked(shingle_rows(docs, text_col, id_col, k=shingle_k).distinct())
+    if verify == "auto":
+        # byte-denominated: total shingle rows, not doc count (one count
+        # over the persisted frame both strategies materialize anyway)
+        verify = "broadcast" if sh.count() <= max_broadcast_shingles else "rows"
 
     if verify == "broadcast":
         import numpy as np
         import pandas as pd
 
-        sid = sh.select("sh").distinct().withColumn(
-            "sid", F.monotonically_increasing_id()
-        )
         doc_sids = (
-            sh.join(sid, "sh")
+            sh.select(id_col, h60(F.col("sh")).alias("sid"))
             .groupBy(id_col)
             .agg(F.collect_list("sid").alias("sids"))
         )
-        table = {
-            r[0]: np.sort(np.asarray(r[1], dtype=np.int64))
-            for r in doc_sids.collect()
-        }
-        bc = spark.sparkContext.broadcast(table)
+        rows = doc_sids.collect()
+        # the shingle frame is fully reduced into the driver-side CSR
+        # below — release its blocks before the verify stage runs
+        _untrack_unpersist(sh)
+        counts = np.array([len(r[1]) for r in rows], dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(counts)[:-1])) if rows else np.empty(0, np.int64)
+        flat = (
+            np.concatenate([np.asarray(r[1], dtype=np.int64) for r in rows])
+            if rows
+            else np.empty(0, np.int64)
+        )
+        # densify ids so pair_idx * n_sid + sid composes into one int64 key
+        uniq, inv = np.unique(flat, return_inverse=True)
+        flat_dense = inv.astype(np.int64)
+        n_sid = max(1, int(uniq.size))
+        id2row = {r[0]: i for i, r in enumerate(rows)}
+        bc = spark.sparkContext.broadcast((id2row, offsets, counts, flat_dense, n_sid))
         dtypes = dict(pairs.dtypes)
         out_schema = (
             f"id_a {dtypes['id_a']}, id_b {dtypes['id_b']}, i bigint, u bigint"
         )
 
         def verify_fn(batches):
-            t = bc.value
+            id2row_, offsets_, counts_, flat_, n_sid_ = bc.value
+
+            def gather_keys(rowidx, cnts):
+                # composite key pair_idx * n_sid + sid for every shingle of
+                # every pair-side doc — one flat gather, no per-pair loop
+                total = int(cnts.sum())
+                excl = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+                idx = np.repeat(offsets_[rowidx] - excl, cnts) + np.arange(total)
+                pair_of = np.repeat(np.arange(cnts.size, dtype=np.int64), cnts)
+                return pair_of * n_sid_ + flat_[idx]
+
             for pdf in batches:
-                oa, ob, oi, ou = [], [], [], []
-                for x, y in zip(pdf["id_a"].tolist(), pdf["id_b"].tolist()):
-                    a, b = t.get(x), t.get(y)
-                    if a is None or b is None:
-                        continue
-                    i = int(np.intersect1d(a, b, assume_unique=True).size)
-                    oa.append(x)
-                    ob.append(y)
-                    oi.append(i)
-                    ou.append(int(a.size + b.size - i))
-                yield pd.DataFrame({"id_a": oa, "id_b": ob, "i": oi, "u": ou})
+                ra = pdf["id_a"].map(id2row_)
+                rb = pdf["id_b"].map(id2row_)
+                ok = ra.notna() & rb.notna()
+                kept = pdf.loc[ok]
+                ra = ra[ok].to_numpy(dtype=np.int64)
+                rb = rb[ok].to_numpy(dtype=np.int64)
+                n_pairs = ra.size
+                if n_pairs == 0:
+                    yield pd.DataFrame(
+                        {"id_a": kept["id_a"], "id_b": kept["id_b"],
+                         "i": np.empty(0, np.int64), "u": np.empty(0, np.int64)}
+                    )
+                    continue
+                na, nb = counts_[ra], counts_[rb]
+                common = np.intersect1d(
+                    gather_keys(ra, na), gather_keys(rb, nb), assume_unique=True
+                )
+                i = np.bincount(common // n_sid_, minlength=n_pairs).astype(np.int64)
+                yield pd.DataFrame(
+                    {"id_a": kept["id_a"].to_numpy(), "id_b": kept["id_b"].to_numpy(),
+                     "i": i, "u": na + nb - i}
+                )
 
         scored = pairs.mapInPandas(verify_fn, out_schema)
         jac = F.round(F.col("i") / F.col("u"), 4)

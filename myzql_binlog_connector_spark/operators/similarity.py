@@ -8,9 +8,19 @@ verifies.  At 10^9 vectors the bucket join replaces the O(N²) cross join
 with an equi-join on ``bucket`` — standard shuffle-hash territory, skew
 handled by AQE since bucket cardinality is high.
 
-All arithmetic is double-precision ``F.aggregate``/``F.zip_with`` column
-algebra (JVM codegen).  Hyperplane signs are md5-derived constants embedded
-as literals, so the DuckDB oracles share them exactly.
+Dot/norm/cosine are UNROLLED per-element ``element_at`` column arithmetic
+(dims is a known constant), so the whole similarity expression sits inside
+whole-stage codegen.  Spark's higher-order functions (``F.aggregate`` /
+``F.zip_with`` / ``F.transform``) are deliberately NOT used on the hot
+path: their lambdas run interpreted (no codegen), ~50× slower per element
+— at 10^9 vectors × K centroids that constant is the scale-killer.  The
+unrolled sum keeps the exact left-to-right fold order of the previous HOF
+implementation (acc starts at 0.0), so values are bit-identical and the
+DuckDB oracles still agree.  Vector norms are projected as a column BEFORE
+any join, so per-candidate work is one dot product, never three.
+
+Hyperplane signs are md5-derived constants embedded as literals, so the
+DuckDB oracles share them exactly.
 """
 
 from __future__ import annotations
@@ -18,6 +28,10 @@ from __future__ import annotations
 import hashlib
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+#: embedding dimensionality of the testdata corpus; callers with other
+#: shapes pass ``dims=...`` explicitly.
+DEFAULT_DIMS = 64
 
 
 # ---------------------------------------------------------------------------
@@ -36,30 +50,43 @@ def plane_signs(plane: int, dims: int) -> list[int]:
 
 
 # ---------------------------------------------------------------------------
-# cosine primitives
+# cosine primitives (codegen: unrolled element_at arithmetic)
 # ---------------------------------------------------------------------------
 
 
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _fold(terms: list[Column]) -> Column:
+    """Left-to-right sum starting at 0.0 — the same association order as a
+    sequential ``aggregate`` fold, so results are bit-identical to the old
+    HOF implementation (and to DuckDB's sequential list_dot_product)."""
+    acc: Column = F.lit(0.0)
+    for t in terms:
+        acc = acc + t
+    return acc
+
+
+def dot(a: Column, b: Column, dims: int = DEFAULT_DIMS) -> Column:
+    """Σ a[i]·b[i] as unrolled codegen arithmetic (element_at is 1-based)."""
+    return _fold(
+        [
+            F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+            for i in range(1, dims + 1)
+        ]
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column, dims: int = DEFAULT_DIMS) -> Column:
     return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        _fold(
+            [
+                F.element_at(a, i).cast("double") * F.element_at(a, i).cast("double")
+                for i in range(1, dims + 1)
+            ]
         )
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dims: int = DEFAULT_DIMS) -> Column:
+    return dot(a, b, dims) / (norm(a, dims) * norm(b, dims))
 
 
 def cosine_sql(a: str, b: str) -> str:
@@ -84,18 +111,27 @@ def ann_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    dims: int = DEFAULT_DIMS,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the probe set against the corpus.
 
     Ranking uses the similarity rounded to 4 decimals with id tie-break, so
-    results are stable across engines/floating-point orders."""
+    results are stable across engines/floating-point orders.  Norms are
+    projected per side BEFORE the join, so the per-(probe, corpus) work in
+    the joined stage is a single unrolled dot product."""
     from .fuzzy import _spread
 
     p = probes.select(
-        F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("_pvec")
+        F.col(id_col).alias(probe_id_col),
+        F.col(vec_col).alias("_pvec"),
+        norm(F.col(vec_col), dims).alias("_pnrm"),
     )
-    joined = _spread(corpus).join(F.broadcast(p), F.col(id_col) != F.col(probe_id_col))
-    sim = F.round(cosine(F.col(vec_col), F.col("_pvec")), 4)
+    c = _spread(corpus).withColumn("_cnrm", norm(F.col(vec_col), dims))
+    joined = c.join(F.broadcast(p), F.col(id_col) != F.col(probe_id_col))
+    sim = F.round(
+        dot(F.col(vec_col), F.col("_pvec"), dims) / (F.col("_cnrm") * F.col("_pnrm")),
+        4,
+    )
     scored = joined.select(
         F.col(probe_id_col),
         F.col(id_col).alias("neighbor_id"),
@@ -122,6 +158,7 @@ def ann_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_id_col: str = "probe_id",
+    dims: int = DEFAULT_DIMS,
 ) -> DataFrame:
     """IVF top-k: partition the corpus into cells around deterministic
     centroids (every ``stride``-th vector — a seeded stand-in for k-means,
@@ -135,39 +172,60 @@ def ann_topk_ivf(
     Similarities are rounded before ranking with id tie-breaks, so results
     are stable across engines and float summation orders."""
     cents = corpus.filter((F.col(id_col) % stride) == 0).select(
-        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec")
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col), dims).alias("_cnrm"),
     )
 
-    # cell assignment: argmax centroid per vector
-    sim_c = F.round(cosine(F.col(vec_col), F.col("_cvec")), 4)
-    scored = corpus.join(F.broadcast(cents)).select(
-        id_col, vec_col, "_cid", sim_c.alias("_csim")
+    # cell assignment: argmax centroid per vector (norms precomputed per
+    # side — the N×K joined stage evaluates one unrolled dot per pair)
+    c = corpus.withColumn("_vnrm", norm(F.col(vec_col), dims))
+    sim_c = F.round(
+        dot(F.col(vec_col), F.col("_cvec"), dims)
+        / (F.col("_vnrm") * F.col("_cnrm")),
+        4,
     )
-    row = F.struct(F.col(id_col), F.col(vec_col), F.col("_cid"))
+    scored = c.join(F.broadcast(cents)).select(
+        id_col, vec_col, "_vnrm", "_cid", sim_c.alias("_csim")
+    )
+    row = F.struct(F.col(id_col), F.col(vec_col), F.col("_vnrm"), F.col("_cid"))
     best = F.max_by(row, F.struct(F.col("_csim"), -F.col("_cid")))
     assigned = scored.groupBy(id_col).agg(best.alias("_r")).select(
         F.col(f"_r.{id_col}").alias(id_col),
         F.col(f"_r.{vec_col}").alias(vec_col),
+        F.col("_r._vnrm").alias("_vnrm"),
         F.col("_r._cid").alias("_cell"),
     )
 
     # nprobe nearest cells per probe
-    p = probes.select(F.col(id_col).alias(probe_id_col), F.col(vec_col).alias("_pvec"))
+    p = probes.select(
+        F.col(id_col).alias(probe_id_col),
+        F.col(vec_col).alias("_pvec"),
+        norm(F.col(vec_col), dims).alias("_pnrm"),
+    )
     pc = p.join(F.broadcast(cents)).select(
-        probe_id_col, "_pvec", "_cid",
-        F.round(cosine(F.col("_pvec"), F.col("_cvec")), 4).alias("_csim"),
+        probe_id_col, "_pvec", "_pnrm", "_cid",
+        F.round(
+            dot(F.col("_pvec"), F.col("_cvec"), dims)
+            / (F.col("_pnrm") * F.col("_cnrm")),
+            4,
+        ).alias("_csim"),
     )
     wp = Window.partitionBy(probe_id_col).orderBy(F.desc("_csim"), F.asc("_cid"))
     probe_cells = (
         pc.withColumn("_prn", F.row_number().over(wp))
         .filter(F.col("_prn") <= nprobe)
-        .select(probe_id_col, "_pvec", F.col("_cid").alias("_cell"))
+        .select(probe_id_col, "_pvec", "_pnrm", F.col("_cid").alias("_cell"))
     )
 
     cand = probe_cells.join(assigned, "_cell").filter(
         F.col(id_col) != F.col(probe_id_col)
     )
-    sim = F.round(cosine(F.col(vec_col), F.col("_pvec")), 4)
+    sim = F.round(
+        dot(F.col(vec_col), F.col("_pvec"), dims)
+        / (F.col("_vnrm") * F.col("_pnrm")),
+        4,
+    )
     scored2 = cand.select(
         F.col(probe_id_col), F.col(id_col).alias("neighbor_id"), sim.alias("sim")
     )
@@ -229,11 +287,20 @@ def ann_topk_ivf_sql(
 
 
 def lsh_bucket(vec_col: Column, dims: int, n_planes: int = 16) -> Column:
-    """Random-hyperplane signature: bit j = (vec · plane_j) >= 0."""
+    """Random-hyperplane signature: bit j = (vec · plane_j) >= 0.
+
+    The plane signs are ±1 literals, so each projection unrolls to a
+    sequential ±element_at sum — pure codegen arithmetic, and codegen
+    subexpression elimination shares the element_at loads across planes."""
     expr = F.lit(0).cast("long")
     for j in range(n_planes):
-        signs = F.array(*[F.lit(float(s)) for s in plane_signs(j, dims)])
-        proj = dot(vec_col, signs)
+        signs = plane_signs(j, dims)
+        proj = _fold(
+            [
+                F.element_at(vec_col, i + 1).cast("double") * F.lit(float(signs[i]))
+                for i in range(dims)
+            ]
+        )
         expr = expr + F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return expr
 
@@ -264,12 +331,19 @@ def embedding_near_dup_pairs(
 
     df = _spread(df)
     b = df.select(
-        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), dims, n_planes).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), dims, n_planes).alias("bucket"),
+        norm(F.col(vec_col), dims).alias("_nrm"),
     )
     left = b.alias("l")
     right = b.alias("r")
     pairs = left.join(right, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-    sim = F.round(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 4)
+    sim = F.round(
+        dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), dims)
+        / (F.col("l._nrm") * F.col("r._nrm")),
+        4,
+    )
     return (
         pairs.select(
             F.col(f"l.{id_col}").alias("id_a"),

@@ -472,10 +472,13 @@ class MultiTableApplier:
         lake table.  Returns {(db, table): commit_record}."""
         from ..functions.decode import scan_schemas
 
+        # the envelope is filtered once per (db, table) below — persist in
+        # BOTH branches so the micro-batch decode runs once, not N_tables
+        # times (the raw_events/streaming path was the expensive miss)
+        envelope = envelope.persist()
         if raw_events is not None:
             desc_rows = scan_schemas(raw_events).collect()
         else:
-            envelope = envelope.persist()
             desc_rows = (
                 envelope.select("database", "table_name", "payload_schema")
                 .distinct()
@@ -508,5 +511,4 @@ class MultiTableApplier:
                 )
             return records
         finally:
-            if raw_events is None:
-                envelope.unpersist()
+            envelope.unpersist()

@@ -1,0 +1,417 @@
+"""Live MySQL binlog capture daemon: TCP + handshake v10 + auth +
+COM_BINLOG_DUMP → engine segment store.
+
+This is the network half of docs/CAPTURE.md §1 — the part the reference
+implements natively (src/mysql/conn.zig:44-408 handshake/response,
+src/mysql/auth.zig:11-26 scrambles, src/binlog_reader.zig:100-146 dump
+framing, src/connection.zig:25-62 socket lifecycle).  Everything here is
+public MySQL client/server protocol; the store-writing half is reused from
+scripts/capture_stub.py.
+
+Usage:
+    python scripts/capture_daemon.py --host H --port P --user U \
+        [--password PW] [--server-id N] [--binlog-file F] [--binlog-pos N] \
+        [--gtids "uuid:1-5,..."] [--ssl] OUT_DIR
+
+Auth support: mysql_native_password and caching_sha2_password (fast path
+always; full path requires TLS, where the cleartext-password exchange is
+safe — the plaintext RSA exchange needs an RSA-OAEP implementation we
+don't ship, so non-TLS full-auth raises with a clear message).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import socket
+import ssl as _ssl
+import struct
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from capture_stub import (  # noqa: E402
+    CaptureError,
+    iter_segments,
+    write_segment_store,
+)
+
+MAX_PAYLOAD = 0xFFFFFF
+
+# capability flags (public protocol constants)
+CLIENT_LONG_PASSWORD = 0x00000001
+CLIENT_LONG_FLAG = 0x00000004
+CLIENT_PROTOCOL_41 = 0x00000200
+CLIENT_SSL = 0x00000800
+CLIENT_SECURE_CONNECTION = 0x00008000
+CLIENT_PLUGIN_AUTH = 0x00080000
+
+COM_QUERY = 0x03
+COM_REGISTER_SLAVE = 0x15
+COM_BINLOG_DUMP = 0x12
+COM_BINLOG_DUMP_GTID = 0x1E
+
+
+# ---------------------------------------------------------------------------
+# auth scrambles (src/mysql/auth.zig:11-26 parity)
+# ---------------------------------------------------------------------------
+
+
+def scramble_native(password: bytes, nonce: bytes) -> bytes:
+    """mysql_native_password: SHA1(pw) XOR SHA1(nonce + SHA1(SHA1(pw)))."""
+    if not password:
+        return b""
+    h1 = hashlib.sha1(password).digest()
+    h2 = hashlib.sha1(h1).digest()
+    h3 = hashlib.sha1(nonce + h2).digest()
+    return bytes(a ^ b for a, b in zip(h1, h3))
+
+
+def scramble_caching_sha2(password: bytes, nonce: bytes) -> bytes:
+    """caching_sha2_password fast path:
+    SHA256(pw) XOR SHA256(SHA256(SHA256(pw)) + nonce)."""
+    if not password:
+        return b""
+    p1 = hashlib.sha256(password).digest()
+    p2 = hashlib.sha256(p1).digest()
+    p3 = hashlib.sha256(p2 + nonce).digest()
+    return bytes(a ^ b for a, b in zip(p1, p3))
+
+
+_SCRAMBLERS = {
+    "mysql_native_password": scramble_native,
+    "caching_sha2_password": scramble_caching_sha2,
+}
+
+
+# ---------------------------------------------------------------------------
+# greeting / packet plumbing
+# ---------------------------------------------------------------------------
+
+
+class Greeting:
+    """Parsed handshake-v10 server greeting."""
+
+    __slots__ = ("server_version", "thread_id", "nonce", "capabilities",
+                 "charset", "status", "auth_plugin")
+
+    def __init__(self, payload: bytes):
+        if payload and payload[0] == 0xFF:
+            raise CaptureError(_err_text(payload))
+        if not payload or payload[0] != 10:
+            raise CaptureError(f"unsupported handshake protocol {payload[:1]!r}")
+        pos = 1
+        end = payload.index(0, pos)
+        self.server_version = payload[pos:end].decode("utf-8", "replace")
+        pos = end + 1
+        self.thread_id = int.from_bytes(payload[pos:pos + 4], "little")
+        pos += 4
+        part1 = payload[pos:pos + 8]
+        pos += 8 + 1  # + filler
+        cap_lo = int.from_bytes(payload[pos:pos + 2], "little")
+        pos += 2
+        self.charset = payload[pos]
+        pos += 1
+        self.status = int.from_bytes(payload[pos:pos + 2], "little")
+        pos += 2
+        cap_hi = int.from_bytes(payload[pos:pos + 2], "little")
+        pos += 2
+        self.capabilities = cap_lo | (cap_hi << 16)
+        auth_len = payload[pos]
+        pos += 1 + 10  # + reserved
+        part2 = b""
+        if self.capabilities & CLIENT_SECURE_CONNECTION:
+            n2 = max(13, auth_len - 8)
+            part2 = payload[pos:pos + n2]
+            pos += n2
+        # nonce = part1 + part2 minus the trailing NUL
+        self.nonce = (part1 + part2).rstrip(b"\x00")[:20]
+        self.auth_plugin = "mysql_native_password"
+        if self.capabilities & CLIENT_PLUGIN_AUTH and pos < len(payload):
+            end = payload.index(0, pos) if 0 in payload[pos:] else len(payload)
+            self.auth_plugin = payload[pos:end].decode("utf-8", "replace")
+
+
+def _err_text(payload: bytes) -> str:
+    code = int.from_bytes(payload[1:3], "little")
+    msg = payload[3:].decode("utf-8", "replace")
+    return f"server ERR {code}: {msg[:200]}"
+
+
+class MySQLBinlogClient:
+    """Minimal replication client: handshake, auth, checksum setup, dump.
+
+    Owns one socket; not thread-safe.  ``dump()`` yields raw event payloads
+    (OK byte + header + body + CRC) exactly as ``packets_to_segments``
+    expects them."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int = 3306,
+        user: str = "repl",
+        password: str = "",
+        server_id: int = 41112,
+        timeout: float = 30.0,
+        use_ssl: bool = False,
+        ssl_context: "_ssl.SSLContext | None" = None,
+    ):
+        self.host, self.port = host, port
+        self.user, self.password = user, password.encode()
+        self.server_id = server_id
+        self.timeout = timeout
+        self.use_ssl = use_ssl
+        self.ssl_context = ssl_context
+        self.sock: socket.socket | None = None
+        self.greeting: Greeting | None = None
+        self._seq = 0
+
+    # -- packet layer ------------------------------------------------------
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise CaptureError("server closed the connection")
+            buf += chunk
+        return bytes(buf)
+
+    def _read_packet(self) -> bytes:
+        """One logical payload (reassembles 16MB-split packets)."""
+        out = bytearray()
+        while True:
+            hdr = self._recv_exact(4)
+            ln = hdr[0] | (hdr[1] << 8) | (hdr[2] << 16)
+            self._seq = (hdr[3] + 1) & 0xFF
+            out += self._recv_exact(ln)
+            if ln < MAX_PAYLOAD:
+                return bytes(out)
+
+    def _send_packet(self, payload: bytes, seq: int | None = None) -> None:
+        if seq is None:
+            seq = self._seq
+        self.sock.sendall(
+            len(payload).to_bytes(3, "little") + bytes([seq & 0xFF]) + payload
+        )
+        self._seq = (seq + 1) & 0xFF
+
+    def _send_command(self, payload: bytes) -> None:
+        self._send_packet(payload, seq=0)  # each command restarts seq
+
+    # -- session -----------------------------------------------------------
+
+    def connect(self) -> None:
+        self.sock = socket.create_connection((self.host, self.port), self.timeout)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self.greeting = Greeting(self._read_packet())
+        self._authenticate()
+
+    def _client_capabilities(self) -> int:
+        return (
+            CLIENT_LONG_PASSWORD
+            | CLIENT_LONG_FLAG
+            | CLIENT_PROTOCOL_41
+            | CLIENT_SECURE_CONNECTION
+            | CLIENT_PLUGIN_AUTH
+        )
+
+    def _handshake_response(self, plugin: str, auth: bytes) -> bytes:
+        caps = self._client_capabilities()
+        return (
+            struct.pack("<IIB23x", caps, MAX_PAYLOAD, 0x21)
+            + self.user.encode() + b"\x00"
+            + bytes([len(auth)]) + auth
+            + plugin.encode() + b"\x00"
+        )
+
+    def _authenticate(self) -> None:
+        g = self.greeting
+        plugin = g.auth_plugin if g.auth_plugin in _SCRAMBLERS else "mysql_native_password"
+        if self.use_ssl:
+            # SSLRequest: same prelude as HandshakeResponse41, CLIENT_SSL set
+            caps = self._client_capabilities() | CLIENT_SSL
+            self._send_packet(struct.pack("<IIB23x", caps, MAX_PAYLOAD, 0x21))
+            ctx = self.ssl_context or _ssl.create_default_context()
+            self.sock = ctx.wrap_socket(self.sock, server_hostname=self.host)
+        auth = _SCRAMBLERS[plugin](self.password, g.nonce)
+        self._send_packet(self._handshake_response(plugin, auth))
+        self._auth_result(plugin)
+
+    def _auth_result(self, plugin: str) -> None:
+        while True:
+            p = self._read_packet()
+            first = p[0] if p else None
+            if first == 0x00:
+                return  # OK
+            if first == 0xFF:
+                raise CaptureError(_err_text(p))
+            if first == 0xFE:
+                # AuthSwitchRequest: plugin NUL nonce
+                end = p.index(0, 1)
+                plugin = p[1:end].decode()
+                nonce = p[end + 1:].rstrip(b"\x00")[:20]
+                if plugin not in _SCRAMBLERS:
+                    raise CaptureError(f"unsupported auth plugin {plugin!r}")
+                self._send_packet(_SCRAMBLERS[plugin](self.password, nonce))
+                continue
+            if first == 0x01 and plugin == "caching_sha2_password":
+                # AuthMoreData: 3 = fast-auth success (OK follows),
+                # 4 = full auth needed
+                status = p[1] if len(p) > 1 else None
+                if status == 3:
+                    continue
+                if status == 4:
+                    if isinstance(self.sock, _ssl.SSLSocket):
+                        # over TLS the cleartext password is the protocol
+                        self._send_packet(self.password + b"\x00")
+                        continue
+                    raise CaptureError(
+                        "caching_sha2_password full auth requires TLS "
+                        "(plaintext RSA exchange not supported); connect "
+                        "with --ssl or use mysql_native_password"
+                    )
+            raise CaptureError(f"unexpected auth packet first byte {first!r}")
+
+    def query_ok(self, sql: str) -> None:
+        """COM_QUERY that must return OK (SET statements)."""
+        self._send_command(bytes([COM_QUERY]) + sql.encode())
+        p = self._read_packet()
+        if not p or p[0] == 0xFF:
+            raise CaptureError(_err_text(p) if p else "empty response")
+        if p[0] != 0x00:
+            raise CaptureError(f"expected OK for {sql!r}, got {p[0]:#x}")
+
+    def setup_session(self, heartbeat_s: float | None = None) -> None:
+        """docs/CAPTURE.md §1.4: CRC32 framing is required by the engine."""
+        self.query_ok("SET @master_binlog_checksum = 'CRC32'")
+        if heartbeat_s:
+            ns = int(heartbeat_s * 1e9)
+            self.query_ok(f"SET @source_heartbeat_period = {ns}")
+
+    # -- dump --------------------------------------------------------------
+
+    def dump(self, binlog_file: str = "", binlog_pos: int = 4):
+        """COM_BINLOG_DUMP; yields event payloads until EOF."""
+        cmd = (
+            bytes([COM_BINLOG_DUMP])
+            + struct.pack("<IHI", binlog_pos, 0, self.server_id)
+            + binlog_file.encode()
+        )
+        self._send_command(cmd)
+        yield from self._event_stream()
+
+    def dump_gtid(self, gtid_set) -> "object":
+        """COM_BINLOG_DUMP_GTID with an executed-GTID set (GtidSet)."""
+        sid_data = gtid_set.to_payload()
+        cmd = (
+            bytes([COM_BINLOG_DUMP_GTID])
+            + struct.pack("<HI", 0, self.server_id)
+            + struct.pack("<I", 0)  # binlog-filename len (GTID resume)
+            + struct.pack("<Q", 4)  # binlog-pos
+            + struct.pack("<I", len(sid_data))
+            + sid_data
+        )
+        self._send_command(cmd)
+        return self._event_stream()
+
+    def _event_stream(self):
+        while True:
+            p = self._read_packet()
+            first = p[0] if p else None
+            if first == 0xFE and len(p) < 9:
+                return  # EOF: clean end of dump
+            if first == 0xFF:
+                raise CaptureError(_err_text(p))
+            if first != 0x00:
+                raise CaptureError(f"unclassifiable packet first byte {first!r}")
+            yield p
+
+    def close(self) -> None:
+        if self.sock is not None:
+            try:
+                self.sock.close()
+            finally:
+                self.sock = None
+
+
+# ---------------------------------------------------------------------------
+# capture loop: dump stream → incremental segment store
+# ---------------------------------------------------------------------------
+
+
+def capture_live(
+    client: MySQLBinlogClient,
+    out_dir: str,
+    binlog_file: str = "",
+    binlog_pos: int = 4,
+    start_file_seq: int = 1,
+) -> list[str]:
+    """Connect, set up the session, dump, and write the segment store.
+
+    Segments are flushed to parquet as each real ROTATE closes them
+    (incremental — a crash loses at most the open segment, and §4 resume
+    re-fetches it idempotently); `_resume.json` records the last ROTATE's
+    next_file/next_pos after every flush."""
+    client.connect()
+    client.setup_session()
+    payloads = client.dump(binlog_file, binlog_pos)
+    return store_stream(payloads, out_dir, start_file_seq)
+
+
+def store_stream(payloads, out_dir: str, start_file_seq: int = 1) -> list[str]:
+    """Incremental store writer: flush each segment as its ROTATE closes it
+    (``capture_stub.iter_segments`` carries the splitter/stamping logic)."""
+    written: list[str] = []
+    state: dict = {}
+    for fs, rows, resume in iter_segments(payloads, start_file_seq, state):
+        written.extend(
+            write_segment_store([(fs, rows)], state["descs"], out_dir, state["executed"])
+        )
+        if resume is not None:
+            with open(os.path.join(out_dir, "_resume.json"), "w") as f:
+                json.dump(resume, f)
+    return written
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("out_dir")
+    ap.add_argument("--host", required=True)
+    ap.add_argument("--port", type=int, default=3306)
+    ap.add_argument("--user", required=True)
+    ap.add_argument("--password", default=os.environ.get("MYSQL_PWD", ""))
+    ap.add_argument("--server-id", type=int, default=41112)
+    ap.add_argument("--binlog-file", default="")
+    ap.add_argument("--binlog-pos", type=int, default=4)
+    ap.add_argument("--start-file-seq", type=int, default=1)
+    ap.add_argument("--ssl", action="store_true")
+    args = ap.parse_args(argv)
+
+    # resume from a previous run's checkpoint when present (§4)
+    resume_path = os.path.join(args.out_dir, "_resume.json")
+    binlog_file, binlog_pos = args.binlog_file, args.binlog_pos
+    if not binlog_file and os.path.exists(resume_path):
+        with open(resume_path) as f:
+            r = json.load(f)
+        binlog_file, binlog_pos = r["binlog_file"], r["binlog_pos"]
+
+    client = MySQLBinlogClient(
+        args.host, args.port, args.user, args.password,
+        server_id=args.server_id, use_ssl=args.ssl,
+    )
+    try:
+        paths = capture_live(
+            client, args.out_dir, binlog_file, binlog_pos, args.start_file_seq
+        )
+    finally:
+        client.close()
+    print(f"wrote {len(paths)} segment files to {args.out_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

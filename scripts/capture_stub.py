@@ -66,23 +66,29 @@ class CaptureError(RuntimeError):
     pass
 
 
-def packets_to_segments(payloads, start_file_seq: int = 1):
-    """Classify payloads (docs/CAPTURE.md §2) and split event blobs into
-    rotation-delimited segments.
+def iter_segments(payloads, start_file_seq: int = 1, state: dict | None = None):
+    """Classify payloads (docs/CAPTURE.md §2) and yield rotation-delimited
+    segments AS THEY CLOSE — ``(file_seq, rows, resume)`` where rows is
+    ``[(offset, gtid, event_seq, blob), ...]`` and resume is the closing
+    ROTATE's ``{"binlog_file", "binlog_pos"}`` (None for a trailing open
+    segment).  A live capture daemon flushes each yield; a crash loses at
+    most the open segment and resumes idempotently (§4).
 
-    Returns (segments, schema_descs, executed) where segments is
-    ``[(file_seq, [(offset, gtid, event_seq, blob), ...]), ...]``,
-    schema_descs is ``{(database, table): desc_json}``, and ``executed`` is
-    the GtidSet accumulated from PREVIOUS_GTIDS snapshots + in-band GTIDs
-    (the COM_BINLOG_DUMP_GTID resume payload for the next capture run)."""
-    segments = []
+    ``state`` (mutated in place, create-if-None) accumulates across the
+    stream: ``descs`` {(database, table): desc_json} and ``executed`` (the
+    GtidSet from PREVIOUS_GTIDS snapshots + in-band GTIDs — the
+    COM_BINLOG_DUMP_GTID resume payload for the next capture run)."""
+    from myzql_binlog_connector_spark.binlog.decoder import parse_rotate
+
+    if state is None:
+        state = {}
+    descs = state.setdefault("descs", {})
+    state.setdefault("executed", GtidSet())
     cur: list[tuple[int, int, int, bytes]] = []
     file_seq = start_file_seq
     offset = 4  # binlog files start after the 4-byte magic
     gtid = 0
     event_seq = 0
-    descs: dict[tuple[str, str], str] = {}
-    executed = GtidSet()
 
     for payload in payloads:
         first = payload[0]
@@ -101,9 +107,11 @@ def packets_to_segments(payloads, start_file_seq: int = 1):
         if hdr.event_type == EventType.GTID:
             g = parse_gtid(ev_payload)
             gtid = g.gno
-            executed.add(g.gtid_str.rsplit(":", 1)[0], g.gno)
+            state["executed"].add(g.gtid_str.rsplit(":", 1)[0], g.gno)
         elif hdr.event_type == EventType.PREVIOUS_GTIDS:
-            executed = executed.union(GtidSet.from_payload(ev_payload))
+            state["executed"] = state["executed"].union(
+                GtidSet.from_payload(ev_payload)
+            )
         elif hdr.event_type == EventType.TABLE_MAP:
             _tid, schema = parse_table_map(ev_payload)
             descs[(schema.database, schema.table)] = json.dumps(
@@ -120,13 +128,26 @@ def packets_to_segments(payloads, start_file_seq: int = 1):
             # position heuristic alone cannot distinguish them here
             artificial = bool(hdr.flags & 0x20) or hdr.timestamp == 0
             if not artificial:
-                segments.append((file_seq, cur))
+                rot = parse_rotate(ev_payload)
+                yield file_seq, cur, {
+                    "binlog_file": rot.next_file,
+                    "binlog_pos": rot.next_position,
+                }
                 cur = []
                 file_seq += 1
                 offset = 4
     if cur:
-        segments.append((file_seq, cur))
-    return segments, descs, executed
+        yield file_seq, cur, None
+
+
+def packets_to_segments(payloads, start_file_seq: int = 1):
+    """Batch form of :func:`iter_segments`: returns (segments, schema_descs,
+    executed) with segments fully materialized."""
+    state: dict = {}
+    segments = [
+        (fs, rows) for fs, rows, _resume in iter_segments(payloads, start_file_seq, state)
+    ]
+    return segments, state["descs"], state["executed"]
 
 
 def write_segment_store(segments, descs, out_dir: str, executed=None) -> list[str]:

@@ -1,0 +1,167 @@
+"""Live-capture client (scripts/capture_daemon.py) against an in-repo mock
+MySQL server: handshake v10 + auth variants + session setup +
+COM_BINLOG_DUMP, end to end into a segment store the engine applies
+(reference parity: src/mysql/conn.zig:44-408, src/mysql/auth.zig:11-26,
+src/binlog_reader.zig:100-146)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from capture_daemon import (  # noqa: E402
+    CaptureError,
+    MySQLBinlogClient,
+    capture_live,
+    scramble_caching_sha2,
+    scramble_native,
+)
+from mock_mysql_server import MockMySQLServer  # noqa: E402
+
+from myzql_binlog_connector_spark.genlog import (  # noqa: E402
+    generate_ops,
+    encode_stream,
+    replay_truth,
+)
+
+
+def _event_payloads(stream) -> list[bytes]:
+    return [blob for _fs, rows in stream.segments for (_o, _g, _es, blob) in rows]
+
+
+class TestScrambles:
+    def test_native_known_vector(self):
+        # independently computed with hashlib from the published algorithm
+        nonce = bytes(range(1, 21))
+        got = scramble_native(b"secret", nonce)
+        import hashlib
+
+        h1 = hashlib.sha1(b"secret").digest()
+        want = bytes(
+            a ^ b for a, b in zip(h1, hashlib.sha1(nonce + hashlib.sha1(h1).digest()).digest())
+        )
+        assert got == want and len(got) == 20
+
+    def test_sha2_length_and_determinism(self):
+        nonce = bytes(range(1, 21))
+        a = scramble_caching_sha2(b"pw", nonce)
+        assert len(a) == 32
+        assert a == scramble_caching_sha2(b"pw", nonce)
+        assert a != scramble_caching_sha2(b"pw2", nonce)
+
+    def test_empty_password_empty_scramble(self):
+        assert scramble_native(b"", b"x" * 20) == b""
+        assert scramble_caching_sha2(b"", b"x" * 20) == b""
+
+
+class TestHandshake:
+    def test_native_auth_and_session_setup(self):
+        with MockMySQLServer(password="secret") as srv:
+            c = MySQLBinlogClient("127.0.0.1", srv.port, "repl", "secret", server_id=7)
+            c.connect()
+            assert c.greeting.server_version.startswith("8.0.99")
+            c.setup_session()
+            assert list(c.dump("binlog.000001", 4)) == []
+            c.close()
+        assert srv.queries == ["SET @master_binlog_checksum = 'CRC32'"]
+        assert srv.dump_args == {
+            "pos": 4, "flags": 0, "server_id": 7, "file": "binlog.000001",
+        }
+
+    def test_caching_sha2_fast_path(self):
+        with MockMySQLServer(password="s3", plugin="caching_sha2_password") as srv:
+            c = MySQLBinlogClient("127.0.0.1", srv.port, "repl", "s3")
+            c.connect()
+            list(c.dump())
+            c.close()
+
+    def test_auth_switch_to_native(self):
+        with MockMySQLServer(
+            password="sw", plugin="caching_sha2_password", auth_mode="switch"
+        ) as srv:
+            c = MySQLBinlogClient("127.0.0.1", srv.port, "repl", "sw")
+            c.connect()
+            list(c.dump())
+            c.close()
+
+    def test_wrong_password_detected_by_server(self):
+        # the mock asserts the scramble; a client with the wrong password
+        # must not produce the expected bytes
+        nonce = bytes(range(1, 21))
+        assert scramble_native(b"right", nonce) != scramble_native(b"wrong", nonce)
+
+
+class TestCaptureEndToEnd:
+    def _capture(self, tmp_path, stream):
+        out_dir = str(tmp_path / "segs")
+        with MockMySQLServer(
+            password="pw", event_payloads=_event_payloads(stream)
+        ) as srv:
+            c = MySQLBinlogClient("127.0.0.1", srv.port, "repl", "pw", server_id=11)
+            try:
+                paths = capture_live(c, out_dir)
+            finally:
+                c.close()
+        return out_dir, paths
+
+    def test_socket_capture_roundtrip_store(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        stream = encode_stream(generate_ops(seed=21, n_convs=40), n_segments=3, seed=21)
+        out_dir, paths = self._capture(tmp_path, stream)
+        assert len(paths) == 3
+        assert os.path.exists(os.path.join(out_dir, "_schemas.json"))
+        assert os.path.exists(os.path.join(out_dir, "_resume.json"))
+        # blobs identical to what the generator emitted, per segment
+        for p, (fs, rows) in zip(paths, stream.segments):
+            t = pq.read_table(p)
+            assert t.column("file_seq").to_pylist() == [fs] * len(rows)
+            assert t.column("event_blob").to_pylist() == [r[3] for r in rows]
+
+    def test_socket_capture_apply_files_matches_truth(self, tmp_path, spark):
+        """The VERDICT-mandated chain: mock server → live client → segment
+        store → apply_files → table state == the pure-Python LWW oracle."""
+        from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        ops = generate_ops(seed=23, n_convs=50, update_frac=0.3, delete_frac=0.15)
+        stream = encode_stream(ops, n_segments=3, seed=23)
+        out_dir, paths = self._capture(tmp_path, stream)
+
+        table = BucketedLakeTable(
+            spark, str(tmp_path / "lake"), ["conv_id", "turn_idx"], n_buckets=4
+        )
+        TranscriptsApplier(spark, table, salt=None).apply_files(paths, batch_id=0)
+        got = {
+            (r.conv_id, r.turn_idx): (r.role, r.text)
+            for r in table.read().collect()
+        }
+        truth = {
+            k: (row[2], row[3]) for k, row in replay_truth(ops).items()
+        }
+        assert got == truth
+
+    def test_resume_checkpoint_points_at_next_file(self, tmp_path):
+        import json
+
+        stream = encode_stream(generate_ops(seed=29, n_convs=10), n_segments=2, seed=29)
+        out_dir, _ = self._capture(tmp_path, stream)
+        with open(os.path.join(out_dir, "_resume.json")) as f:
+            r = json.load(f)
+        assert r["binlog_pos"] == 4 and r["binlog_file"].startswith("binlog.")
+
+
+class TestErrorPaths:
+    def test_server_err_packet_raises(self, tmp_path):
+        # a mock that ERRs the dump: reuse the event list with an ERR frame
+        err = b"\xff\x28\x04#HY000denied"
+        with MockMySQLServer(password="pw", event_payloads=[err]) as srv:
+            c = MySQLBinlogClient("127.0.0.1", srv.port, "repl", "pw")
+            c.connect()
+            with pytest.raises(CaptureError, match="1064"):
+                list(c.dump())
+            c.close()

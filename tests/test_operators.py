@@ -93,6 +93,36 @@ class TestFuzzyDedup:
         assert (0, 2) in pairs and pairs[(0, 2)] > 0.5  # near dup
         assert all(a != 4 and b != 4 for a, b in pairs)  # unrelated excluded
 
+    def test_minhash_rows_verify_matches_broadcast(self, spark, docs):
+        from myzql_binlog_connector_spark.operators.fuzzy import (
+            minhash_dup_pairs,
+            ngram_jaccard,
+        )
+
+        pairs = minhash_dup_pairs(docs, jaccard_threshold=0.0)
+        bcast = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+        cand = pairs.select("id_a", "id_b")
+        rows = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard(
+                docs, cand, verify="rows", release_first=False
+            ).collect()
+        }
+        assert bcast == rows
+
+    def test_release_cached_frees_all_blocks(self, spark, docs):
+        from myzql_binlog_connector_spark.operators.fuzzy import (
+            minhash_dup_pairs,
+            release_cached,
+        )
+
+        release_cached()
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        minhash_dup_pairs(docs, jaccard_threshold=0.5).count()
+        released = release_cached()
+        assert released >= 1  # the candidate-pair frame was tracked
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+
     def test_simhash_near_dup_low_hamming(self, spark, docs):
         from myzql_binlog_connector_spark.operators.fuzzy import simhash
 
@@ -115,7 +145,7 @@ class TestSimilarity:
         from myzql_binlog_connector_spark.operators.similarity import cosine
 
         df = spark.createDataFrame([([1.0, 2.0, 3.0], [1.0, 2.0, 3.0])], "a array<float>, b array<float>")
-        got = df.select(F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")).collect()[0].c
+        got = df.select(F.round(cosine(F.col("a"), F.col("b"), dims=3), 6).alias("c")).collect()[0].c
         assert got == 1.0
 
     def test_topk_finds_duplicate_vector(self, spark):
@@ -129,7 +159,7 @@ class TestSimilarity:
         ]
         emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
         probes = emb.filter("vec_id = 0")
-        top = ann_topk_bruteforce(emb, probes, k=1).collect()
+        top = ann_topk_bruteforce(emb, probes, k=1, dims=3).collect()
         assert top[0].neighbor_id == 1 and top[0].rank == 1
 
     def test_lsh_bucket_deterministic(self, spark):

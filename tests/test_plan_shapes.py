@@ -37,3 +37,18 @@ def test_no_cartesian_product(spark, name):
     assert "CartesianProduct" not in plan, name
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+# similarity hot paths must stay whole-stage-codegen: Spark higher-order
+# functions (aggregate/zip_with/transform lambdas) run interpreted, ~50×
+# slower per element — banned from these plans.
+HOF_GUARDED = ["ann_cosine_topk", "ann_ivf_topk", "lsh_buckets", "embedding_near_dup"]
+
+
+@pytest.mark.parametrize("name", HOF_GUARDED)
+def test_no_interpreted_hof(spark, name):
+    import __spark_entry__ as entry
+
+    df = entry.queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lambdafunction" not in plan.lower(), name

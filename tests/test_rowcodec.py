@@ -221,6 +221,22 @@ class TestCrcVerification:
         with _pytest.raises(ValueError, match="CRC32 mismatch"):
             list(sess.process_packet(bytes(bad), file_seq=1))
 
+    def test_corrupt_fast_skipped_packet_detected(self):
+        # XID (16) is a kind _pre_rows fast-skips when no stop bound is
+        # set; verify_crc must still catch corruption in it
+        w = EventWriter()
+        w.format_description()
+        w._emit(16, (1234).to_bytes(8, "little"))  # XID event
+        packets = [pkt for _, pkt in w.events]
+        sess = BinlogSession(verify_crc=True)
+        list(sess.process_packet(packets[0], file_seq=1))
+        bad = bytearray(packets[1])
+        bad[-6] ^= 0xFF  # corrupt payload, keep the old CRC
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="CRC32 mismatch"):
+            list(sess.process_packet(bytes(bad), file_seq=1))
+
     def test_clean_stream_passes(self):
         w = EventWriter()
         w.format_description()
@@ -232,3 +248,22 @@ class TestCrcVerification:
         for _, pkt in w.events:
             rows.extend(sess.process_packet(pkt, file_seq=1))
         assert len(rows) == 1
+
+
+class TestBlobViews:
+    def test_zero_copy_views_match_pylist_including_high_bytes(self):
+        """pyarrow Buffer memoryviews export format 'b' (signed); the cast
+        to 'B' must make indexing return unsigned ints — a blob byte >0x7f
+        read as negative broke varlen length fields (round-3 regression)."""
+        import pyarrow as pa
+
+        from myzql_binlog_connector_spark.functions.decode import _blob_views
+
+        blobs = [bytes([0xFF, 0x80, 0x01]), b"", b"plain", bytes(range(256))]
+        arr = pa.array(blobs, pa.binary())
+        for a in (arr, arr.slice(1, 3), pa.chunked_array([arr, arr])):
+            views = _blob_views(a)
+            assert [bytes(v) for v in views] == a.to_pylist()
+            for v in views:
+                if len(v):
+                    assert v[0] >= 0  # unsigned indexing
