@@ -74,6 +74,27 @@ def q_cdc_apply_state(spark, sf_dir):
     return state.select("event_id", "user_id", "event_type", "value", "props")
 
 
+def q_cdc_schema_evolution(spark, sf_dir):
+    """Mid-stream TABLE_MAP add-column: V1 inserts, then a widened V2 map
+    + updates over the same table id.  Evolved rows carry the new
+    ``quality`` column; untouched rows NULL-pad it (plans/apply.py widens
+    the union schema the same way)."""
+    events = harness.docs_cdc_evolving_events(spark, sf_dir)
+    env = decode_changes(events)
+    state = harness.typed_final_state(
+        env,
+        harness.DOCS_SCHEMA_V2,
+        (0,),
+        ["bigint", "string", "string", "string", "bigint", "bigint"],
+    )
+    # NULL-pad is the semantics under test; coalesce at presentation so
+    # the compare never hits nullable-int NaN asymmetries between engines
+    return state.select(
+        "doc_id", "text", "lang", "source", "n_chars",
+        F.coalesce(F.col("quality"), F.lit(-1)).alias("quality"),
+    )
+
+
 def q_cdc_envelope_counts(spark, sf_dir):
     events = harness.docs_cdc_events(spark, sf_dir)
     env = decode_changes(events)
@@ -525,6 +546,40 @@ def q_multimodal_real_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_video_meta(spark, sf_dir):
+    """Video metadata, REAL box parse, fully distributed: workers synthesize
+    minimal valid mp4 containers (ftyp + moov/mvhd/tkhd — codecs.
+    encode_mp4_meta) with dims/duration derived from doc columns, then
+    decode_media(fake=False) parses the actual boxes back; the oracle
+    recomputes from the same formula.  Frame DECODE still needs ffmpeg and
+    stays stubbed — this is the metadata half (ISO 14496-12 box walk)."""
+    from myzql_binlog_connector_spark.operators.multimodal import decode_media
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def gen(batches):
+        import pandas as pd
+
+        from myzql_binlog_connector_spark.operators.codecs import encode_mp4_meta
+
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 160 + (int(did) % 8) * 16
+                h = 90 + (int(nch) % 8) * 16
+                dur = 1000 + (int(did) % 100) * 250
+                ids.append(did)
+                kinds.append("video")
+                payloads.append(encode_mp4_meta(w, h, dur))
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, kind string, payload binary")
+    meta = decode_media(media, fake=False)
+    return meta.select(
+        F.col("media_id").alias("doc_id"), "width", "height", "duration_ms", "format"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -534,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_decode_roundtrip": q_cdc_decode_roundtrip,
         "cdc_apply_state": q_cdc_apply_state,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
         "cdc_envelope_counts": q_cdc_envelope_counts,
         "cdc_bounded_replay": q_cdc_bounded_replay,
         "cdc_table_filter": q_cdc_table_filter,
@@ -572,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract_props": q_json_extract_props,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_real_decode": q_multimodal_real_decode,
+        "multimodal_video_meta": q_multimodal_video_meta,
     }
 
 
@@ -601,6 +658,13 @@ def oracle_sql() -> dict[str, str]:
         "cdc_envelope_counts": """
             SELECT 'corpus' AS database, 'documents' AS table_name,
                    'INSERT' AS dml_type, CAST(count(*) AS BIGINT) AS n
+            FROM documents
+        """,
+        "cdc_schema_evolution": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 4 = 0 THEN 'v2: ' || text ELSE text END AS text,
+                   lang, source, n_chars,
+                   CASE WHEN doc_id % 4 = 0 THEN n_chars // 2 ELSE -1 END AS quality
             FROM documents
         """,
         "cdc_bounded_replay": """
@@ -875,4 +939,12 @@ def oracle_sql() -> dict[str, str]:
                    'png' AS format
             FROM documents
         """,
+        "multimodal_video_meta": """
+            SELECT doc_id,
+                   CAST(160 + doc_id %% 8 * 16 AS INT) AS width,
+                   CAST(90 + n_chars %% 8 * 16 AS INT) AS height,
+                   CAST(1000 + doc_id %% 100 * 250 AS BIGINT) AS duration_ms,
+                   'mp4' AS format
+            FROM documents
+        """.replace('%%', '%'),
     }

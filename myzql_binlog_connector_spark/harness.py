@@ -40,6 +40,21 @@ DOCS_SCHEMA = TableSchema(
     column_names=("doc_id", "text", "lang", "source", "n_chars"),
 )
 
+DOCS_SCHEMA_V2 = TableSchema(
+    database="corpus",
+    table="documents",
+    columns=(
+        ColumnSpec(ColumnType.LONGLONG, 0, False),  # doc_id
+        ColumnSpec(ColumnType.VARCHAR, 16384),      # text
+        ColumnSpec(ColumnType.VARCHAR, 16),         # lang
+        ColumnSpec(ColumnType.VARCHAR, 64),         # source
+        ColumnSpec(ColumnType.LONGLONG, 0),         # n_chars
+        ColumnSpec(ColumnType.LONGLONG, 0),         # quality (added mid-stream)
+    ),
+    column_names=("doc_id", "text", "lang", "source", "n_chars", "quality"),
+)
+
+
 EVENTS_TBL_SCHEMA = TableSchema(
     database="app",
     table="events",
@@ -85,6 +100,47 @@ def docs_cdc_events(spark: SparkSession, sf_dir: str, n_segments: int = 2) -> Da
         w.rotate(f"binlog.{s + 2:06d}")
         writers.append(w)
     return _events_df_from_writer(spark, writers)
+
+
+def docs_cdc_evolving_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream TABLE_MAP schema evolution (pure function of documents):
+    segment 1 INSERTs every row under the 5-col V1 schema; segment 2
+    switches the TABLE_MAP to V2 (adds ``quality`` DOUBLE) and UPDATEs rows
+    with doc_id % 4 == 0 to text='v2: '+text, quality=n_chars//2.  Final
+    state: evolved rows carry the new column, never-updated rows NULL-pad
+    it — the CASE/NULL oracle in __spark_entry__.oracle_sql()."""
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_pylist()
+
+    w1 = EventWriter(server_id=1)
+    w1.format_description()
+    w1.table_map(7, DOCS_SCHEMA)
+    for i in range(0, len(tbl), 80):
+        rows = [
+            (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+            for r in tbl[i : i + 80]
+        ]
+        w1.write_rows(7, DOCS_SCHEMA, rows)
+    w1.rotate("binlog.000002")
+
+    w2 = EventWriter(server_id=1)
+    w2.format_description()
+    w2.table_map(7, DOCS_SCHEMA_V2)  # same table id, widened schema
+    updates = [
+        (
+            (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"], None),
+            (r["doc_id"], "v2: " + r["text"], r["lang"], r["source"],
+             r["n_chars"], r["n_chars"] // 2),
+        )
+        for r in tbl
+        if r["doc_id"] % 4 == 0
+    ]
+    for i in range(0, len(updates), 80):
+        w2.update_rows(7, DOCS_SCHEMA_V2, updates[i : i + 80])
+    w2.rotate("binlog.000003")
+    return _events_df_from_writer(spark, [w1, w2])
 
 
 def events_cdc_stream(spark: SparkSession, sf_dir: str, n_segments: int = 3) -> DataFrame:

@@ -5,11 +5,11 @@ The Spark-side machinery — schema, partition-friendly batch shape,
 ``mapInPandas`` Arrow UDFs — is real and tested.  Codecs: PNG/BMP/WAV are
 REAL (pure stdlib zlib/wave + numpy — see ``operators/codecs.py``; decode,
 metadata, nearest-neighbor resize, PNG re-encode all operate on actual
-bytes).  Only video containers stay stubbed (ffmpeg is not in this
-container): ``decode_media`` raises ``NotImplementedError`` for them
-unless ``fake=True``, in which case a deterministic metadata extractor
-stands in so the distributed plumbing can be exercised end-to-end with
-synthetic payloads.
+bytes), and mp4 METADATA is real too (pure ISO-BMFF box parse:
+moov/mvhd/tkhd → duration/dims).  Only video FRAME decode stays stubbed
+(``sample_frames`` slices bytes; a real impl needs ffmpeg, absent here).
+``fake=True`` swaps in a deterministic md5 metadata extractor for
+synthetic-payload pipelines whose bytes aren't actual media.
 
 Batch shape: ``mapInPandas`` receives Arrow batches (pandas DataFrames);
 binary payloads stay as Python ``bytes`` inside the batch — zero-copy from
@@ -68,10 +68,9 @@ def _fake_meta(payload: bytes, kind: str) -> dict:
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Extract metadata from the binary payload via mapInPandas.
 
-    ``fake=False`` decodes REAL payloads (PNG/BMP/WAV — codecs.media_meta);
-    video containers raise NotImplementedError (ffmpeg not available).
-    ``fake=True`` uses the deterministic md5 stand-in (synthetic-payload
-    pipelines where the bytes aren't actual media).
+    ``fake=False`` decodes REAL payloads (PNG/BMP/WAV/mp4-metadata —
+    codecs.media_meta).  ``fake=True`` uses the deterministic md5 stand-in
+    (synthetic-payload pipelines where the bytes aren't actual media).
     Input needs columns (media_id, kind, payload)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

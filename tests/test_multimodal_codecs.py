@@ -135,7 +135,9 @@ class TestBmpWav:
         assert (m["width"], m["height"], m["format"]) == (20, 30, "png")
         m = media_meta(encode_wav(np.zeros(8000, np.int16), 16000))
         assert (m["duration_ms"], m["format"]) == (500, "wav")
-        with pytest.raises(NotImplementedError):
+        # mp4 metadata is a real box parse now; a moov-less payload is a
+        # codec error, not an unimplemented format
+        with pytest.raises(CodecError, match="moov"):
             media_meta(b"\x00\x00\x00\x18ftypmp42" + b"x" * 16)
 
 
@@ -179,3 +181,62 @@ class TestSparkFlows:
         assert len(out) == 1  # undecodable dropped
         img = decode_image(bytes(out[0].payload))
         assert img.shape == (8, 8, 3)
+
+
+class TestMp4Metadata:
+    def test_roundtrip_meta(self):
+        from myzql_binlog_connector_spark.operators.codecs import (
+            encode_mp4_meta,
+            media_meta,
+            parse_mp4_meta,
+            sniff_format,
+        )
+
+        data = encode_mp4_meta(640, 360, 12_500)
+        assert sniff_format(data) == "mp4"
+        got = parse_mp4_meta(data)
+        assert got == {"width": 640, "height": 360, "duration_ms": 12_500}
+        m = media_meta(data)
+        assert m["format"] == "mp4" and m["width"] == 640
+        assert m["duration_ms"] == 12_500 and m["byte_len"] == len(data)
+
+    def test_v1_boxes_and_largesize(self):
+        import struct
+
+        from myzql_binlog_connector_spark.operators.codecs import parse_mp4_meta
+
+        def box(t, body):
+            return struct.pack(">I", 8 + len(body)) + t + body
+
+        matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        mvhd = box(
+            b"mvhd",
+            b"\x01\x00\x00\x00"
+            + struct.pack(">QQIQ", 0, 0, 90_000, 90_000 * 7)
+            + struct.pack(">I", 0x10000) + struct.pack(">H", 0x100)
+            + bytes(10) + matrix + bytes(24) + struct.pack(">I", 2),
+        )
+        tkhd = box(
+            b"tkhd",
+            b"\x01\x00\x00\x07"
+            + struct.pack(">QQII", 0, 0, 1, 0) + struct.pack(">Q", 0)
+            + bytes(8) + struct.pack(">hhHH", 0, 0, 0, 0) + matrix
+            + struct.pack(">II", 1920 << 16, 1080 << 16),
+        )
+        moov_body = mvhd + box(b"trak", tkhd)
+        # largesize (size==1) framing on moov
+        moov = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov_body)) + moov_body
+        data = box(b"ftyp", b"isom" + bytes(4)) + moov
+        got = parse_mp4_meta(data)
+        assert got == {"width": 1920, "height": 1080, "duration_ms": 7000}
+
+    def test_missing_moov_raises(self):
+        import pytest as _pytest
+
+        from myzql_binlog_connector_spark.operators.codecs import (
+            CodecError,
+            parse_mp4_meta,
+        )
+
+        with _pytest.raises(CodecError, match="moov"):
+            parse_mp4_meta(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00")
