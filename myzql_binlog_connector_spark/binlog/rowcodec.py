@@ -152,21 +152,33 @@ def _cold_decoder(spec):
 def _emit_image(lines, ind, schema, present, env, hex_bytes=True):
     """Null-bitmap read + per-column decode for one row image.  Columns not
     in ``present`` never get a ``v{i}`` binding — emitters must treat them
-    as None."""
+    as None.
+
+    Generates TWO decode bodies: a straight-line one for the common
+    all-columns-present case (nm == 0 — no per-column bit tests), and the
+    bit-tested general one.  The null bitmap is per ROW, so this is a
+    runtime branch, not a cache key."""
     nbn = (len(present) + 7) // 8
     if nbn == 1:
         lines.append(f"{ind}nm = buf[pos]; pos += 1")
     else:
         lines.append(f"{ind}nm = ifb(buf[pos:pos + {nbn}], 'little'); pos += {nbn}")
-    for j, i in enumerate(present):
+    lines.append(f"{ind}if nm == 0:")
+    for i in present:
         spec = schema.columns[i]
-        test = "nm & 1" if j == 0 else f"nm >> {j} & 1"
-        lines.append(f"{ind}if {test}:")
-        lines.append(f"{ind}    v{i} = None")
-        lines.append(f"{ind}else:")
         _emit_decode(lines, ind + "    ", i, spec, env)
         if hex_bytes and _out_kind(spec) == "b":
             lines.append(f"{ind}    v{i} = '0x' + v{i}.hex()")
+    lines.append(f"{ind}else:")
+    for j, i in enumerate(present):
+        spec = schema.columns[i]
+        test = "nm & 1" if j == 0 else f"nm >> {j} & 1"
+        lines.append(f"{ind}    if {test}:")
+        lines.append(f"{ind}        v{i} = None")
+        lines.append(f"{ind}    else:")
+        _emit_decode(lines, ind + "        ", i, spec, env)
+        if hex_bytes and _out_kind(spec) == "b":
+            lines.append(f"{ind}        v{i} = '0x' + v{i}.hex()")
 
 
 def _env_literal(n_cols, present) -> str:

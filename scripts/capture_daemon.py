@@ -349,16 +349,23 @@ def capture_live(
     binlog_file: str = "",
     binlog_pos: int = 4,
     start_file_seq: int = 1,
+    gtid_set=None,
 ) -> list[str]:
     """Connect, set up the session, dump, and write the segment store.
 
-    Segments are flushed to parquet as each real ROTATE closes them
-    (incremental — a crash loses at most the open segment, and §4 resume
-    re-fetches it idempotently); `_resume.json` records the last ROTATE's
-    next_file/next_pos after every flush."""
+    ``gtid_set`` (a GtidSet) switches the dump to COM_BINLOG_DUMP_GTID —
+    the server resumes from the first transaction NOT in the set (§4 GTID
+    resume; a file/pos resume is the fallback).  Segments are flushed to
+    parquet as each real ROTATE closes them (incremental — a crash loses
+    at most the open segment, and §4 resume re-fetches it idempotently);
+    `_resume.json` records the last ROTATE's next_file/next_pos after
+    every flush."""
     client.connect()
     client.setup_session()
-    payloads = client.dump(binlog_file, binlog_pos)
+    if gtid_set is not None:
+        payloads = client.dump_gtid(gtid_set)
+    else:
+        payloads = client.dump(binlog_file, binlog_pos)
     return store_stream(payloads, out_dir, start_file_seq)
 
 
@@ -389,12 +396,30 @@ def main(argv=None) -> int:
     ap.add_argument("--binlog-pos", type=int, default=4)
     ap.add_argument("--start-file-seq", type=int, default=1)
     ap.add_argument("--ssl", action="store_true")
+    ap.add_argument(
+        "--gtids",
+        default="",
+        help="executed-GTID set text for COM_BINLOG_DUMP_GTID resume "
+        "(default: the store's _gtids.json when present)",
+    )
     args = ap.parse_args(argv)
 
-    # resume from a previous run's checkpoint when present (§4)
+    # resume from a previous run's checkpoints when present (§4): the
+    # executed-GTID set wins (server picks the exact resume point);
+    # file/pos is the fallback
+    gtid_set = None
+    gtids_text = args.gtids
+    gtids_path = os.path.join(args.out_dir, "_gtids.json")
+    if not gtids_text and not args.binlog_file and os.path.exists(gtids_path):
+        with open(gtids_path) as f:
+            gtids_text = json.load(f).get("executed_gtid_set", "")
+    if gtids_text:
+        from myzql_binlog_connector_spark.binlog.gtid_set import GtidSet
+
+        gtid_set = GtidSet.from_text(gtids_text)
     resume_path = os.path.join(args.out_dir, "_resume.json")
     binlog_file, binlog_pos = args.binlog_file, args.binlog_pos
-    if not binlog_file and os.path.exists(resume_path):
+    if gtid_set is None and not binlog_file and os.path.exists(resume_path):
         with open(resume_path) as f:
             r = json.load(f)
         binlog_file, binlog_pos = r["binlog_file"], r["binlog_pos"]
@@ -405,7 +430,8 @@ def main(argv=None) -> int:
     )
     try:
         paths = capture_live(
-            client, args.out_dir, binlog_file, binlog_pos, args.start_file_seq
+            client, args.out_dir, binlog_file, binlog_pos,
+            args.start_file_seq, gtid_set=gtid_set,
         )
     finally:
         client.close()

@@ -192,6 +192,25 @@ class MockMySQLServer:
                     s += 1
                 send_packet(conn, b"\xfe\x00\x00\x00\x00", s)  # EOF
                 return
+            elif cmd[0] == 0x1E:  # COM_BINLOG_DUMP_GTID
+                flags, sid = struct.unpack_from("<HI", cmd, 1)
+                fn_len = struct.unpack_from("<I", cmd, 7)[0]
+                base = 11 + fn_len
+                pos_ = struct.unpack_from("<Q", cmd, base)[0]
+                data_len = struct.unpack_from("<I", cmd, base + 8)[0]
+                self.dump_args = {
+                    "pos": pos_,
+                    "flags": flags,
+                    "server_id": sid,
+                    "file": cmd[11:base].decode(),
+                    "gtid_payload": bytes(cmd[base + 12 : base + 12 + data_len]),
+                }
+                s = 1
+                for p in self.event_payloads:
+                    send_packet(conn, p, s)
+                    s += 1
+                send_packet(conn, b"\xfe\x00\x00\x00\x00", s)
+                return
             elif cmd[0] == 0x01:  # COM_QUIT
                 return
             else:

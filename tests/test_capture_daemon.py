@@ -155,6 +155,23 @@ class TestCaptureEndToEnd:
         assert r["binlog_pos"] == 4 and r["binlog_file"].startswith("binlog.")
 
 
+class TestGtidResume:
+    def test_dump_gtid_ships_executed_set(self):
+        from myzql_binlog_connector_spark.binlog.gtid_set import GtidSet
+
+        gs = GtidSet.from_text(
+            "3E11FA47-71CA-11E1-9E33-C80AA9429562:1-5:11-18"
+        )
+        with MockMySQLServer(password="pw") as srv:
+            c = MySQLBinlogClient("127.0.0.1", srv.port, "repl", "pw", server_id=3)
+            c.connect()
+            assert list(c.dump_gtid(gs)) == []
+            c.close()
+        assert srv.dump_args["server_id"] == 3
+        got = GtidSet.from_payload(srv.dump_args["gtid_payload"])
+        assert got == gs
+
+
 class TestErrorPaths:
     def test_server_err_packet_raises(self, tmp_path):
         # a mock that ERRs the dump: reuse the event list with an ERR frame
