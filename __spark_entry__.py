@@ -451,7 +451,7 @@ def q_ann_ivf_topk(spark, sf_dir):
 def q_lsh_buckets(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     return emb.select(
-        "vec_id", similarity.lsh_bucket(F.col("embedding"), dims=64, n_planes=16).alias("bucket")
+        "vec_id", similarity.lsh_bucket_arrow(F.col("embedding"), dims=64, n_planes=16).alias("bucket")
     )
 
 

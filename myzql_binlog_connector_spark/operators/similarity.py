@@ -8,16 +8,25 @@ verifies.  At 10^9 vectors the bucket join replaces the O(N²) cross join
 with an equi-join on ``bucket`` — standard shuffle-hash territory, skew
 handled by AQE since bucket cardinality is high.
 
-Dot/norm/cosine are UNROLLED per-element ``element_at`` column arithmetic
-(dims is a known constant), so the whole similarity expression sits inside
-whole-stage codegen.  Spark's higher-order functions (``F.aggregate`` /
-``F.zip_with`` / ``F.transform``) are deliberately NOT used on the hot
-path: their lambdas run interpreted (no codegen), ~50× slower per element
-— at 10^9 vectors × K centroids that constant is the scale-killer.  The
-unrolled sum keeps the exact left-to-right fold order of the previous HOF
-implementation (acc starts at 0.0), so values are bit-identical and the
-DuckDB oracles still agree.  Vector norms are projected as a column BEFORE
-any join, so per-candidate work is one dot product, never three.
+Vector math comes in two equivalent implementations, both bit-identical
+to the sequential-fold semantics the DuckDB oracles compute:
+
+* **Arrow batch (the operators' default)** — ``dot_arrow``/``norm_arrow``/
+  ``lsh_bucket_arrow`` pandas_udfs: one vectorized numpy pass per ~8k-row
+  Arrow batch (SIMD over the batch, dimensions accumulated in order).
+  Plan stays one node, so Catalyst analysis/codegen cost is constant.
+* **Unrolled codegen** — ``dot``/``norm``/``cosine``/``lsh_bucket``
+  Column expressions over ``element_at`` terms: pure-JVM whole-stage
+  codegen, no Python workers, but a 64-term tree per dot makes plan
+  compile pay seconds per query — use when Python workers are
+  unavailable or plans are reused.
+
+Spark's higher-order functions (``F.aggregate``/``F.zip_with``/
+``F.transform``) are deliberately NOT used anywhere: their lambdas run
+interpreted (no codegen), ~50× slower per element — at 10^9 vectors × K
+centroids that constant is the scale-killer.  Vector norms are projected
+as a column BEFORE any join, so per-candidate work is one dot product,
+never three.
 
 Hyperplane signs are md5-derived constants embedded as literals, so the
 DuckDB oracles share them exactly.
@@ -27,7 +36,11 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
 
 #: embedding dimensionality of the testdata corpus; callers with other
 #: shapes pass ``dims=...`` explicitly.
@@ -89,6 +102,52 @@ def cosine(a: Column, b: Column, dims: int = DEFAULT_DIMS) -> Column:
     return dot(a, b, dims) / (norm(a, dims) * norm(b, dims))
 
 
+# ---------------------------------------------------------------------------
+# cosine primitives (Arrow batch: one numpy pass per ~8k rows)
+#
+# The unrolled codegen forms above have tiny per-row cost but a LARGE plan:
+# 64-term trees per dot make Catalyst analysis/codegen pay seconds per
+# query — fine at 10^9 rows, dominant at benchmark SF.  These pandas_udf
+# forms keep the plan a single node and compute each batch as 64 vectorized
+# numpy steps; the accumulation loops over dimensions IN ORDER, so results
+# stay bit-identical to the sequential fold (and the DuckDB oracles).
+# np.dot/einsum are deliberately NOT used: their blocked/pairwise summation
+# changes last-ulp results, which can flip a rounded sim or a bucket sign.
+# ---------------------------------------------------------------------------
+
+
+def _mat(s, dims: int):
+    if not len(s):
+        return np.empty((0, dims), dtype=np.float64)
+    return np.array(s.tolist(), dtype=np.float64)
+
+
+def _seq_rowdot(A, B):
+    """Row-wise Σ_j A[:,j]·B[:,j] accumulated left-to-right over j — the
+    exact fold order of :func:`dot` (bit-identical), SIMD over the batch."""
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for j in range(A.shape[1]):
+        acc = acc + A[:, j] * B[:, j]
+    return acc
+
+
+def dot_arrow(a: Column, b: Column, dims: int = DEFAULT_DIMS) -> Column:
+    @pandas_udf("double")
+    def f(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(_seq_rowdot(_mat(x, dims), _mat(y, dims)))
+
+    return f(a, b)
+
+
+def norm_arrow(a: Column, dims: int = DEFAULT_DIMS) -> Column:
+    @pandas_udf("double")
+    def f(x: pd.Series) -> pd.Series:
+        A = _mat(x, dims)
+        return pd.Series(np.sqrt(_seq_rowdot(A, A)))
+
+    return f(a)
+
+
 def cosine_sql(a: str, b: str) -> str:
     """DuckDB mirror — explicit double-precision dot/norms (same formula;
     list_cosine_similarity agrees to ~1e-12, we round before comparing)."""
@@ -113,29 +172,53 @@ def ann_topk_bruteforce(
     probe_id_col: str = "probe_id",
     dims: int = DEFAULT_DIMS,
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast the probe set against the corpus.
+    """Exact cosine top-k: ONE pass over the corpus, scoring every row
+    against the broadcast probe matrix in a per-batch vectorized
+    contraction (``mapInPandas``) — the corpus never shuffles and probe
+    vectors never ship per pair (only P sims per corpus row come back).
+    At 10^9 corpus rows this is the optimal brute-force shape: a single
+    scan, embarrassingly parallel, P·dims flops per row in numpy.
 
     Ranking uses the similarity rounded to 4 decimals with id tie-break, so
-    results are stable across engines/floating-point orders.  Norms are
-    projected per side BEFORE the join, so the per-(probe, corpus) work in
-    the joined stage is a single unrolled dot product."""
+    results are stable across engines/floating-point orders (the
+    contraction accumulates dimensions in order — same fold as the SQL
+    oracle)."""
     from .fuzzy import _spread
 
-    p = probes.select(
-        F.col(id_col).alias(probe_id_col),
-        F.col(vec_col).alias("_pvec"),
-        norm(F.col(vec_col), dims).alias("_pnrm"),
-    )
-    c = _spread(corpus).withColumn("_cnrm", norm(F.col(vec_col), dims))
-    joined = c.join(F.broadcast(p), F.col(id_col) != F.col(probe_id_col))
-    sim = F.round(
-        dot(F.col(vec_col), F.col("_pvec"), dims) / (F.col("_cnrm") * F.col("_pnrm")),
-        4,
-    )
-    scored = joined.select(
-        F.col(probe_id_col),
-        F.col(id_col).alias("neighbor_id"),
-        sim.alias("sim"),
+    probe_rows = probes.select(id_col, vec_col).collect()  # probe set is small by contract
+    pids = [r[0] for r in probe_rows]
+    P = np.array([list(r[1]) for r in probe_rows], dtype=np.float64)
+    pn = np.sqrt(_seq_rowdot(P, P))
+    bc = corpus.sparkSession.sparkContext.broadcast((pids, P, pn))
+    id_t = dict(corpus.dtypes)[id_col]
+
+    def score(batches):
+        pids_, P_, pn_ = bc.value
+        n_probes = len(pids_)
+        for pdf in batches:
+            V = _mat(pdf[vec_col], dims)
+            n = V.shape[0]
+            if n == 0:
+                continue
+            vn = np.sqrt(_seq_rowdot(V, V))
+            acc = np.zeros((n, n_probes), dtype=np.float64)
+            for j in range(dims):  # in-order fold per (row, probe)
+                acc = acc + V[:, j, None] * P_[None, :, j]
+            sims = acc / (vn[:, None] * pn_[None, :])
+            yield pd.DataFrame(
+                {
+                    probe_id_col: np.tile(np.array(pids_), n),
+                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), n_probes),
+                    "sim": sims.ravel(),
+                }
+            )
+
+    scored = (
+        _spread(corpus)
+        .select(id_col, vec_col)
+        .mapInPandas(score, f"{probe_id_col} {id_t}, neighbor_id {id_t}, sim double")
+        .filter(F.col("neighbor_id") != F.col(probe_id_col))
+        .select(probe_id_col, "neighbor_id", F.round("sim", 4).alias("sim"))
     )
     w = Window.partitionBy(probe_id_col).orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -174,14 +257,14 @@ def ann_topk_ivf(
     cents = corpus.filter((F.col(id_col) % stride) == 0).select(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).alias("_cvec"),
-        norm(F.col(vec_col), dims).alias("_cnrm"),
+        norm_arrow(F.col(vec_col), dims).alias("_cnrm"),
     )
 
     # cell assignment: argmax centroid per vector (norms precomputed per
     # side — the N×K joined stage evaluates one unrolled dot per pair)
-    c = corpus.withColumn("_vnrm", norm(F.col(vec_col), dims))
+    c = corpus.withColumn("_vnrm", norm_arrow(F.col(vec_col), dims))
     sim_c = F.round(
-        dot(F.col(vec_col), F.col("_cvec"), dims)
+        dot_arrow(F.col(vec_col), F.col("_cvec"), dims)
         / (F.col("_vnrm") * F.col("_cnrm")),
         4,
     )
@@ -201,12 +284,12 @@ def ann_topk_ivf(
     p = probes.select(
         F.col(id_col).alias(probe_id_col),
         F.col(vec_col).alias("_pvec"),
-        norm(F.col(vec_col), dims).alias("_pnrm"),
+        norm_arrow(F.col(vec_col), dims).alias("_pnrm"),
     )
     pc = p.join(F.broadcast(cents)).select(
         probe_id_col, "_pvec", "_pnrm", "_cid",
         F.round(
-            dot(F.col("_pvec"), F.col("_cvec"), dims)
+            dot_arrow(F.col("_pvec"), F.col("_cvec"), dims)
             / (F.col("_pnrm") * F.col("_cnrm")),
             4,
         ).alias("_csim"),
@@ -222,7 +305,7 @@ def ann_topk_ivf(
         F.col(id_col) != F.col(probe_id_col)
     )
     sim = F.round(
-        dot(F.col(vec_col), F.col("_pvec"), dims)
+        dot_arrow(F.col(vec_col), F.col("_pvec"), dims)
         / (F.col("_vnrm") * F.col("_pnrm")),
         4,
     )
@@ -305,6 +388,25 @@ def lsh_bucket(vec_col: Column, dims: int, n_planes: int = 16) -> Column:
     return expr
 
 
+def lsh_bucket_arrow(vec_col: Column, dims: int, n_planes: int = 16) -> Column:
+    """Arrow-batch form of :func:`lsh_bucket`: all ``n_planes`` projections
+    in one vectorized pass per batch.  Accumulates over dimensions in
+    order with ±1.0 multiplies — bit-identical to the codegen/SQL fold."""
+    signs = [plane_signs(j, dims) for j in range(n_planes)]
+
+    @pandas_udf("long")
+    def f(v: pd.Series) -> pd.Series:
+        S = np.array(signs, dtype=np.float64)  # (planes, dims)
+        V = _mat(v, dims)
+        proj = np.zeros((V.shape[0], n_planes), dtype=np.float64)
+        for j in range(dims):  # in-order fold, SIMD over (batch, planes)
+            proj = proj + V[:, j, None] * S[None, :, j]
+        bits = (proj >= 0).astype(np.int64) << np.arange(n_planes, dtype=np.int64)
+        return pd.Series(bits.sum(axis=1))
+
+    return f(vec_col)
+
+
 def lsh_bucket_sql(vec_expr: str, dims: int, n_planes: int = 16) -> str:
     terms = []
     for j in range(n_planes):
@@ -333,14 +435,14 @@ def embedding_near_dup_pairs(
     b = df.select(
         F.col(id_col),
         F.col(vec_col),
-        lsh_bucket(F.col(vec_col), dims, n_planes).alias("bucket"),
-        norm(F.col(vec_col), dims).alias("_nrm"),
+        lsh_bucket_arrow(F.col(vec_col), dims, n_planes).alias("bucket"),
+        norm_arrow(F.col(vec_col), dims).alias("_nrm"),
     )
     left = b.alias("l")
     right = b.alias("r")
     pairs = left.join(right, (F.col("l.bucket") == F.col("r.bucket")) & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
     sim = F.round(
-        dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), dims)
+        dot_arrow(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), dims)
         / (F.col("l._nrm") * F.col("r._nrm")),
         4,
     )
