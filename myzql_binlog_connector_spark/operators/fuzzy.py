@@ -47,14 +47,6 @@ def release_cached() -> int:
     return n
 
 
-def _untrack_unpersist(df: DataFrame) -> None:
-    try:
-        _PERSISTED.remove(df)
-    except ValueError:
-        pass
-    df.unpersist()
-
-
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Ensure enough input partitions for the compute-heavy hash stages: a
     small-file source (1-2 partitions) would serialize the explode+md5 work.
@@ -405,9 +397,9 @@ def ngram_jaccard(
         (pair, shingle) equi-joins, |A∪B| = |A|+|B|−|A∩B| from per-doc
         counts.  One row per (doc, gram) — a pathological 100 MB document
         costs rows, not task or driver memory.
-    ``auto``  picks ``broadcast`` iff the candidate shingle-row count is
-        under the cap (counted on the persisted shingle frame, which both
-        strategies materialize anyway).
+    ``auto``  picks ``broadcast`` iff the candidates' total text length
+        (an upper bound on their distinct-shingle count — one cheap sum,
+        no explode) is under the cap.
 
     The broadcast verifier identifies shingles by their 60-bit md5 hash
     (``h60``) instead of a join-interned id — one less shuffle; a same-doc
@@ -431,27 +423,28 @@ def ngram_jaccard(
     docs = _spread(df.select(id_col, text_col), id_col).join(
         cand_ids, id_col, "left_semi"
     )
-    # read multiple times below in both strategies: persist the
-    # candidate-only shingle rows instead of re-exploding
-    sh = _persist_tracked(shingle_rows(docs, text_col, id_col, k=shingle_k).distinct())
     if verify == "auto":
-        # byte-denominated: total shingle rows, not doc count (one count
-        # over the persisted frame both strategies materialize anyway)
-        verify = "broadcast" if sh.count() <= max_broadcast_shingles else "rows"
+        # byte-denominated: total candidate text length upper-bounds the
+        # distinct-shingle count, and one sum over the candidate docs is
+        # far cheaper than materializing the shingle explode just to
+        # count it
+        total = docs.select(F.sum(F.length(text_col))).collect()[0][0] or 0
+        verify = "broadcast" if total <= max_broadcast_shingles else "rows"
 
     if verify == "broadcast":
         import numpy as np
         import pandas as pd
 
+        # collect_set dedups map-side within ONE shuffle (vs the rows
+        # path's distinct + groupBy two-shuffle shape); sets are per-doc
+        # distinct, which the CSR verifier's assume_unique relies on
         doc_sids = (
-            sh.select(id_col, h60(F.col("sh")).alias("sid"))
+            shingle_rows(docs, text_col, id_col, k=shingle_k)
+            .select(id_col, h60(F.col("sh")).alias("sid"))
             .groupBy(id_col)
-            .agg(F.collect_list("sid").alias("sids"))
+            .agg(F.collect_set("sid").alias("sids"))
         )
         rows = doc_sids.collect()
-        # the shingle frame is fully reduced into the driver-side CSR
-        # below — release its blocks before the verify stage runs
-        _untrack_unpersist(sh)
         counts = np.array([len(r[1]) for r in rows], dtype=np.int64)
         offsets = np.concatenate(([0], np.cumsum(counts)[:-1])) if rows else np.empty(0, np.int64)
         flat = (
@@ -506,12 +499,22 @@ def ngram_jaccard(
                      "i": i, "u": na + nb - i}
                 )
 
-        scored = pairs.mapInPandas(verify_fn, out_schema)
+        # AQE coalesces the small candidate shuffle (~bytes, not compute)
+        # into very few partitions, which would serialize the verify UDF —
+        # spread pairs across the cluster before the compute-heavy stage
+        par = spark.sparkContext.defaultParallelism
+        scored = pairs.repartition(par).mapInPandas(verify_fn, out_schema)
         jac = F.round(F.col("i") / F.col("u"), 4)
         return scored.select("id_a", "id_b", jac.alias("jaccard")).filter(
             F.col("jaccard") >= threshold
         )
 
+    # rows strategy: the shingle frame is read three times (sizes + two
+    # intersection joins) — persist it (tracked; released by
+    # release_cached() / the next fuzzy operator call)
+    sh = _persist_tracked(
+        shingle_rows(docs, text_col, id_col, k=shingle_k).distinct()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     inter = (
         pairs.join(sh.select(F.col(id_col).alias("id_a"), "sh"), "id_a")
