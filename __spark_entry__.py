@@ -27,7 +27,7 @@ from myzql_binlog_connector_spark.functions.position import (
     position_range_sql,
 )
 from myzql_binlog_connector_spark.functions.table_filter import TableFilter
-from myzql_binlog_connector_spark.operators import fuzzy, similarity, text as T
+from myzql_binlog_connector_spark.operators import fuzzy, sampling, similarity, text as T
 from myzql_binlog_connector_spark.operators.dedup import lww_dedup, lww_dedup_salted
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -500,6 +500,47 @@ def q_json_extract_props(spark, sf_dir):
     )
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic content-addressed train/val/test split — stable across
+    runs/engines/partitionings (Spark randomSplit is neither)."""
+    from myzql_binlog_connector_spark.operators.sampling import hash_split
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, id_col="doc_id")
+
+
+def q_corpus_stats(spark, sf_dir):
+    """Per-(lang, source) training-corpus rollup: doc counts, token totals,
+    quality extremes.  Aggregates are integer sums / min / max only —
+    order-independent, so the value-hash compare is exact across engines
+    (a float mean would depend on partial-agg order)."""
+    docs = _read(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "lang",
+        "source",
+        T.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.round(T.quality_score(F.col("text")), 4).alias("q"),
+    )
+    return enriched.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.floor(F.sum("n_tokens") / F.count(F.lit(1))).cast("bigint").alias("avg_tokens"),
+        F.min("q").alias("min_quality"),
+        F.max("q").alias("max_quality"),
+    )
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """End-to-end corpus dedup: minhash-LSH pairs → connected components →
+    keep the min-id representative per cluster (the full 'dedup the
+    training corpus' composition)."""
+    from myzql_binlog_connector_spark.operators.dedup import dedup_survivors
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = fuzzy.minhash_dup_pairs(docs, n_hashes=8, shingle_k=5, jaccard_threshold=0.35)
+    return dedup_survivors(docs.select("doc_id", "n_chars"), pairs)
+
+
 def q_multimodal_meta(spark, sf_dir):
     from myzql_binlog_connector_spark.operators.multimodal import decode_media
 
@@ -626,6 +667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "json_extract_props": q_json_extract_props,
+        "dataset_split": q_dataset_split,
+        "corpus_stats": q_corpus_stats,
+        "dedup_survivors": q_dedup_survivors,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_real_decode": q_multimodal_real_decode,
         "multimodal_video_meta": q_multimodal_video_meta,
@@ -646,6 +690,48 @@ def oracle_sql() -> dict[str, str]:
     cos_ab = similarity.cosine_sql("a.embedding", "b.embedding")
     bucket8 = similarity.lsh_bucket_sql("embedding", 64, 8)
     shingle_cte = fuzzy.shingle_cte_sql("documents", "text", "doc_id", 5)
+    tok_count = ("CASE WHEN trim(text)='' THEN 0 "
+                 "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
+    # minhash pairs → connected components, shared by the clusters and the
+    # dedup-survivors oracles (same pipeline, different final SELECT)
+    clusters_cte = f"""{shingle_cte},
+            sigs AS (
+              SELECT doc_id, {fuzzy.minhash_sig_select_sql(8)}
+              FROM shingled GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, band, mh FROM sigs,
+              LATERAL (VALUES {', '.join(
+                  f"({b}, concat(CAST(mh_{2*b} AS VARCHAR), '_', CAST(mh_{2*b+1} AS VARCHAR)))"
+                  for b in range(4)
+              )}) AS v(band, mh)
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.mh = r.mh AND l.doc_id < r.doc_id
+            ),
+            sets AS (
+              SELECT doc_id, list(DISTINCT sh) AS shset FROM shingled GROUP BY doc_id
+            ),
+            dup_pairs AS (
+              SELECT c.id_a, c.id_b,
+                     round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.shset, b.shset))), 4) AS jaccard
+              FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b
+              WHERE round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.shset, b.shset))), 4) >= 0.35
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM dup_pairs
+              UNION
+              SELECT id_b, id_a FROM dup_pairs
+            ),
+            walk(node, lab) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node
+            )"""
 
     return {
         "cdc_decode_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
@@ -824,44 +910,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, jaccard FROM dup_pairs
         """,
         "minhash_dup_clusters": f"""
-            WITH RECURSIVE {shingle_cte},
-            sigs AS (
-              SELECT doc_id, {fuzzy.minhash_sig_select_sql(8)}
-              FROM shingled GROUP BY doc_id
-            ),
-            bands AS (
-              SELECT doc_id, band, mh FROM sigs,
-              LATERAL (VALUES {', '.join(
-                  f"({b}, concat(CAST(mh_{2*b} AS VARCHAR), '_', CAST(mh_{2*b+1} AS VARCHAR)))"
-                  for b in range(4)
-              )}) AS v(band, mh)
-            ),
-            cand AS (
-              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-              FROM bands l JOIN bands r
-                ON l.band = r.band AND l.mh = r.mh AND l.doc_id < r.doc_id
-            ),
-            sets AS (
-              SELECT doc_id, list(DISTINCT sh) AS shset FROM shingled GROUP BY doc_id
-            ),
-            dup_pairs AS (
-              SELECT c.id_a, c.id_b,
-                     round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-                           / len(list_distinct(list_concat(a.shset, b.shset))), 4) AS jaccard
-              FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b
-              WHERE round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-                          / len(list_distinct(list_concat(a.shset, b.shset))), 4) >= 0.35
-            ),
-            edges AS (
-              SELECT id_a AS a, id_b AS b FROM dup_pairs
-              UNION
-              SELECT id_b, id_a FROM dup_pairs
-            ),
-            walk(node, lab) AS (
-              SELECT a, a FROM edges
-              UNION
-              SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node
-            )
+            WITH RECURSIVE {clusters_cte}
             SELECT node AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY node
         """,
         "simhash_docs": fuzzy.simhash_sql("documents", "text", "doc_id", 16),
@@ -938,6 +987,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST({height} AS INT) AS height,
                    'png' AS format
             FROM documents
+        """,
+        "dataset_split": f"""
+            SELECT doc_id, {sampling.split_sql('doc_id')} AS split FROM documents
+        """,
+        "corpus_stats": f"""
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum({tok_count}) AS BIGINT) AS total_tokens,
+                   CAST(floor(CAST(sum({tok_count}) AS DOUBLE) / count(*)) AS BIGINT) AS avg_tokens,
+                   min(round({T.quality_score_sql('text')}, 4)) AS min_quality,
+                   max(round({T.quality_score_sql('text')}, 4)) AS max_quality
+            FROM documents GROUP BY lang, source
+        """,
+        "dedup_survivors": f"""
+            WITH RECURSIVE {clusters_cte},
+            clusters AS (
+              SELECT node AS doc_id, min(lab) AS cluster_id FROM walk GROUP BY node
+            )
+            SELECT d.doc_id, d.n_chars FROM documents d
+            WHERE NOT EXISTS (
+              SELECT 1 FROM clusters c
+              WHERE c.doc_id = d.doc_id AND c.cluster_id <> d.doc_id
+            )
         """,
         "multimodal_video_meta": """
             SELECT doc_id,

@@ -122,3 +122,25 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Corpus after near-dup removal: one representative per connected
+    near-duplicate cluster (the minimum id), all singleton docs untouched.
+
+    Composes :func:`connected_components` over the verified dup pairs and
+    anti-joins the non-canonical members (cluster_id != doc_id) out of the
+    corpus — the standard 'dedup the training corpus' end step.  The drop
+    set is cluster-member-sized (≪ corpus), so the anti-join broadcasts in
+    practice; the corpus itself never shuffles."""
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    drop = cc.filter(F.col("cluster_id") != F.col("doc_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(F.broadcast(drop), id_col, "left_anti")

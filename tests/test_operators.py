@@ -231,3 +231,57 @@ class TestConnectedComponents:
         got = {r.doc_id: r.cluster_id for r in connected_components(pairs, max_iters=40).collect()}
         assert set(got.values()) == {0}
         assert len(got) == n + 1
+
+
+class TestSampling:
+    def test_split_deterministic_and_partition_invariant(self, spark):
+        from myzql_binlog_connector_spark.operators.sampling import hash_split
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.split for r in hash_split(df).collect()}
+        b = {r.doc_id: r.split for r in hash_split(df.repartition(7)).collect()}
+        assert a == b  # content-addressed: layout cannot change assignment
+        frac = sum(1 for v in a.values() if v == "train") / len(a)
+        assert 0.85 < frac < 0.95  # ~0.9 within binomial noise
+
+    def test_split_seed_changes_assignment(self, spark):
+        from myzql_binlog_connector_spark.operators.sampling import hash_split
+
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.split for r in hash_split(df, seed="s1").collect()}
+        b = {r.doc_id: r.split for r in hash_split(df, seed="s2").collect()}
+        assert a != b
+
+    def test_split_sql_mirror_matches(self, spark):
+        import duckdb
+
+        from myzql_binlog_connector_spark.operators.sampling import (
+            hash_split,
+            split_sql,
+        )
+
+        df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+        got = {r.doc_id: r.split for r in hash_split(df).collect()}
+        con = duckdb.connect()
+        want = dict(
+            con.sql(
+                f"SELECT doc_id, {split_sql('doc_id')} AS split "
+                "FROM (SELECT unnest(range(300)) AS doc_id)"
+            ).fetchall()
+        )
+        assert got == want
+
+
+class TestDedupSurvivors:
+    def test_keeps_min_id_per_cluster_and_singletons(self, spark):
+        from myzql_binlog_connector_spark.operators.dedup import dedup_survivors
+
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(8)], "doc_id bigint, text string"
+        )
+        # clusters: {0,1,2} (chain), {5,6}; singletons 3,4,7
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (5, 6)], "id_a bigint, id_b bigint"
+        )
+        kept = {r.doc_id for r in dedup_survivors(docs, pairs).collect()}
+        assert kept == {0, 3, 4, 5, 7}
