@@ -500,6 +500,62 @@ def q_json_extract_props(spark, sf_dir):
     )
 
 
+def q_stateful_progress(spark, sf_dir):
+    """Custom stateful streaming operator (T7, applyInPandasWithState) with
+    a SQL oracle: conversation_progress runs as a checkpointed availableNow
+    stream over the events op stream (1 file per trigger, so state crosses
+    micro-batch boundaries); counters are monotone per key, so the final
+    state is the per-key max over the update-mode sink.  The op stream is a
+    pure function of the events table — the oracle derives the same counts
+    directly.  Events fold into 500 conversations (event_id % 500):
+    applyInPandasWithState invokes Python once per (key, batch), so key
+    cardinality — not row count — is the cost driver; fat keys are both
+    the realistic shape and the honest benchmark."""
+    import os
+    import tempfile
+
+    from myzql_binlog_connector_spark.sources.segments import stream_segments
+    from myzql_binlog_connector_spark.streaming.stateful import conversation_progress
+
+    root = tempfile.mkdtemp(prefix="stateful_q_")
+    seg = os.path.join(root, "seg")
+    harness.write_writers_parquet(
+        harness.events_stream_writers(sf_dir, n_segments=3), seg
+    )
+    events = stream_segments(spark, seg, max_files_per_trigger=1)
+    env = decode_changes(events, already_partitioned=True)
+    eid = F.get_json_object(
+        F.coalesce("after_values", "before_values"), "$.c0"
+    ).cast("bigint")
+    changes = env.select(
+        (eid % 500).cast("string").alias("conv_id"),
+        "dml_type",
+        "gtid",
+        "file_seq",
+        "log_pos",
+    )
+    qname = f"conv_progress_{os.path.basename(root)}"
+    q = (
+        # bounded replay: idle reaping off so the drained query terminates
+        conversation_progress(changes, idle_timeout_ms=0)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""
+        SELECT CAST(conv_id AS BIGINT) AS conv_mod,
+               max(turns_applied) AS turns_applied,
+               max(deletes_seen) AS deletes_seen
+        FROM {qname} GROUP BY CAST(conv_id AS BIGINT)
+        """
+    )
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic content-addressed train/val/test split — stable across
     runs/engines/partitionings (Spark randomSplit is neither)."""
@@ -667,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "json_extract_props": q_json_extract_props,
+        "stateful_progress": q_stateful_progress,
         "dataset_split": q_dataset_split,
         "corpus_stats": q_corpus_stats,
         "dedup_survivors": q_dedup_survivors,
@@ -988,6 +1045,14 @@ def oracle_sql() -> dict[str, str]:
                    'png' AS format
             FROM documents
         """,
+        "stateful_progress": """
+            SELECT event_id %% 500 AS conv_mod,
+                   CAST(count(*) + sum(CASE WHEN event_id %% 3 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS turns_applied,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS deletes_seen
+            FROM events GROUP BY event_id %% 500
+        """.replace('%%', '%'),
         "dataset_split": f"""
             SELECT doc_id, {sampling.split_sql('doc_id')} AS split FROM documents
         """,

@@ -113,7 +113,12 @@ def conversation_progress(
     decoded envelope with conv_id extracted from the row image.
 
     Conversations idle for ``idle_timeout_ms`` of processing time are
-    reaped from the state store (pass 0 to keep state forever).
+    reaped from the state store (pass 0 to keep state forever).  For
+    BOUNDED replays (``availableNow`` triggers) pass 0: a pending
+    processing-time timeout keeps the micro-batch engine alive waiting to
+    fire it, so the query does not terminate when the data is drained —
+    reaping is for continuous tails, where unbounded state is the actual
+    risk.
 
     Output mode must be ``update``; pairs with any sink that upserts."""
     timeout = (

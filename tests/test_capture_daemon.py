@@ -145,6 +145,35 @@ class TestCaptureEndToEnd:
         }
         assert got == truth
 
+    def test_socket_capture_streaming_replay_matches_truth(self, tmp_path, spark):
+        """The full live pipeline: mock server → capture daemon → segment
+        store → checkpointed STREAMING replay (the production tail path) →
+        final table state == the pure-Python LWW oracle."""
+        from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+        from myzql_binlog_connector_spark.streaming.replay import BinlogReplayStream
+
+        ops = generate_ops(seed=31, n_convs=40, update_frac=0.25, delete_frac=0.1)
+        stream = encode_stream(ops, n_segments=3, seed=31)
+        out_dir, _paths = self._capture(tmp_path, stream)
+
+        table = BucketedLakeTable(
+            spark, str(tmp_path / "lake"), ["conv_id", "turn_idx"], n_buckets=4
+        )
+        applier = TranscriptsApplier(spark, table, salt=None)
+        BinlogReplayStream(
+            spark,
+            out_dir,
+            applier,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        ).run_to_completion()
+        got = {
+            (r.conv_id, r.turn_idx): r.text for r in table.read().collect()
+        }
+        truth = {k: row[3] for k, row in replay_truth(ops).items()}
+        assert got == truth
+
     def test_resume_checkpoint_points_at_next_file(self, tmp_path):
         import json
 

@@ -32,7 +32,9 @@ def test_progress_state_across_microbatches(spark, tmp_path):
         "file_seq",
         "log_pos",
     )
-    progress = conversation_progress(changes)
+    # bounded availableNow replay: idle reaping off (a pending processing-
+    # time timeout would keep the drained query alive until it fires)
+    progress = conversation_progress(changes, idle_timeout_ms=0)
 
     q = (
         progress.writeStream.format("memory")
@@ -68,3 +70,68 @@ def test_progress_state_across_microbatches(spark, tmp_path):
     # ops spread over multiple segments (counters higher than any single
     # batch could produce in isolation is implied by equality with truth)
     assert len(got) == 12
+
+
+class _StubState:
+    """Minimal GroupState stand-in for the timeout-reap branch."""
+
+    def __init__(self, timed_out: bool):
+        self.hasTimedOut = timed_out
+        self.exists = False
+        self.removed = False
+        self.updated = None
+        self.timeout_set = None
+
+    @property
+    def get(self):  # pragma: no cover - not reached in these tests
+        raise AssertionError("get on empty state")
+
+    def update(self, v):
+        self.updated = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_timed_out_key_is_reaped():
+    import pandas as pd
+
+    from myzql_binlog_connector_spark.streaming.stateful import _make_update
+
+    fn = _make_update(60_000)
+    st = _StubState(timed_out=True)
+    out = list(fn(("conv-x",), iter([]), st))
+    assert out == [] and st.removed and st.updated is None
+
+
+def test_live_key_sets_timeout_and_updates():
+    import pandas as pd
+
+    from myzql_binlog_connector_spark.streaming.stateful import _make_update
+
+    fn = _make_update(60_000)
+    st = _StubState(timed_out=False)
+    pdf = pd.DataFrame(
+        {"dml_type": ["INSERT", "DELETE"], "gtid": [3, 4],
+         "file_seq": [1, 1], "log_pos": [10, 20]}
+    )
+    out = list(fn(("conv-y",), iter([pdf]), st))
+    assert len(out) == 1 and st.updated == (1, 1, 4, 1, 20)
+    assert st.timeout_set == 60_000 and not st.removed
+
+
+def test_zero_timeout_never_sets_duration():
+    import pandas as pd
+
+    from myzql_binlog_connector_spark.streaming.stateful import _make_update
+
+    fn = _make_update(0)
+    st = _StubState(timed_out=False)
+    pdf = pd.DataFrame(
+        {"dml_type": ["INSERT"], "gtid": [1], "file_seq": [1], "log_pos": [5]}
+    )
+    list(fn(("c",), iter([pdf]), st))
+    assert st.timeout_set is None
