@@ -556,6 +556,86 @@ def q_stateful_progress(spark, sf_dir):
     )
 
 
+def q_windowed_event_counts(spark, sf_dir):
+    """Event-time tumbling-window counts over a LATE-ARRIVING stream with a
+    watermark — the Structured Streaming windowed-agg surface.
+
+    Arrival order: events staged into time-ordered ~400-row files, but
+    every event_id % 17 == 0 row is DEFERRED one file (genuinely late —
+    the watermark has advanced past it when it arrives; its window updates
+    late).  Deferral lateness is bounded by two file spans (~33 h of event
+    time) < the 48 h watermark delay, so no row is dropped and the oracle
+    stays a plain GROUP BY.  Counts are monotone under update mode, so the
+    final state is the per-(window, type) max over the sink."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    tbl = pq_.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"])
+    rows = list(
+        zip(
+            tbl.column("event_id").to_pylist(),
+            tbl.column("ts").cast(pa.int64()).to_pylist(),  # µs since epoch, tz-free
+            tbl.column("event_type").to_pylist(),
+        )
+    )
+    rows.sort(key=lambda r: r[1])
+    chunks: list[list] = []
+    defer: list = []
+    for i in range(0, len(rows), 400):
+        cur = rows[i : i + 400]
+        chunks.append(defer + [r for r in cur if r[0] % 17 != 0])
+        defer = [r for r in cur if r[0] % 17 == 0]
+    if defer:
+        chunks.append(defer)
+
+    root = tempfile.mkdtemp(prefix="wm_counts_")
+    src = os.path.join(root, "src")
+    os.makedirs(src)
+    for k, chunk in enumerate(chunks):
+        part = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in chunk], pa.int64()),
+                "ts_us": pa.array([r[1] for r in chunk], pa.int64()),
+                "event_type": pa.array([r[2] for r in chunk], pa.string()),
+            }
+        )
+        path = os.path.join(src, f"part-{k:04d}.parquet")
+        pq_.write_table(part, path)
+        os.utime(path, (1_700_000_000 + k, 1_700_000_000 + k))  # arrival order
+
+    stream = (
+        spark.readStream.schema("event_id bigint, ts_us bigint, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    agg = (
+        stream.withWatermark("ts", "48 hours")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qname = f"wm_counts_{os.path.basename(root)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""
+        SELECT CAST(window.start AS BIGINT) AS window_start, event_type,
+               CAST(max(n) AS BIGINT) AS n
+        FROM {qname} GROUP BY CAST(window.start AS BIGINT), event_type
+        """
+    )
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic content-addressed train/val/test split — stable across
     runs/engines/partitionings (Spark randomSplit is neither)."""
@@ -724,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "json_extract_props": q_json_extract_props,
         "stateful_progress": q_stateful_progress,
+        "windowed_event_counts": q_windowed_event_counts,
         "dataset_split": q_dataset_split,
         "corpus_stats": q_corpus_stats,
         "dedup_survivors": q_dedup_survivors,
@@ -1053,6 +1134,13 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS deletes_seen
             FROM events GROUP BY event_id %% 500
         """.replace('%%', '%'),
+        "windowed_event_counts": """
+            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600 AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600, event_type
+        """,
         "dataset_split": f"""
             SELECT doc_id, {sampling.split_sql('doc_id')} AS split FROM documents
         """,
