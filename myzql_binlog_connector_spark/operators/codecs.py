@@ -287,18 +287,30 @@ def _find_box(data, btype: bytes, start: int, end: int):
 
 
 def parse_mp4_meta(data: bytes) -> dict:
-    """moov/mvhd → duration_ms, first trak/tkhd with nonzero dims → w/h."""
+    """moov/mvhd → duration_ms, first trak/tkhd with nonzero dims → w/h.
+
+    Malformed containers (truncated/mutated box sizes or payloads) always
+    raise :class:`CodecError` — never an unstructured struct/IndexError —
+    so a poisoned payload can't crash a mapInPandas batch unhandled."""
+
+    def _need(payload_end: int, upto: int) -> None:
+        if upto > payload_end:
+            raise CodecError("mp4 box payload shorter than its declared fields")
+
     moov = _find_box(data, b"moov", 0, len(data))
     if moov is None:
         raise CodecError("mp4 missing moov box")
     duration_ms = width = height = None
     for t, s, e in _iter_boxes(data, *moov):
         if t == b"mvhd":
+            _need(e, s + 1)
             ver = data[s]
             if ver == 1:
+                _need(e, s + 4 + 28)
                 timescale = struct.unpack_from(">I", data, s + 4 + 16)[0]
                 duration = struct.unpack_from(">Q", data, s + 4 + 20)[0]
             else:
+                _need(e, s + 4 + 16)
                 timescale = struct.unpack_from(">I", data, s + 4 + 8)[0]
                 duration = struct.unpack_from(">I", data, s + 4 + 12)[0]
             if timescale:
@@ -308,10 +320,12 @@ def parse_mp4_meta(data: bytes) -> dict:
             if tkhd is None:
                 continue
             ts, te = tkhd
+            _need(te, ts + 1)
             ver = data[ts]
             # after version/flags: v0 = c4 m4 id4 r4 dur4; v1 = c8 m8 id4 r4 dur8
             fixed = ts + 4 + (32 if ver == 1 else 20)
             # layer2 alt2 volume2 reserved2 matrix36 → width/height 16.16
+            _need(te, fixed + 8 + 2 + 2 + 2 + 2 + 36 + 8)
             w16, h16 = struct.unpack_from(">II", data, fixed + 8 + 2 + 2 + 2 + 2 + 36)
             if w16 and h16:
                 width, height = w16 >> 16, h16 >> 16

@@ -115,3 +115,40 @@ class TestRoundTrip:
         for p, (fs, _) in zip(paths, stream.segments):
             got = pq.read_table(p).column("offset").to_pylist()
             assert got == want[fs]
+
+
+class TestFramingFuzz:
+    def test_arbitrary_bytes_raise_structured_or_parse(self):
+        """Garbage byte streams must either frame cleanly or raise
+        ValueError/CaptureError — never hang or crash unstructured."""
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(min_size=0, max_size=200))
+        def run(data):
+            try:
+                payloads = list(iter_mysql_packets(data, max_payload=32))
+            except ValueError:
+                return
+            try:
+                packets_to_segments(payloads)
+            except (ValueError, CaptureError):
+                pass
+
+        run()
+
+    def test_refeeding_framed_garbage_roundtrips(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=100, deadline=None)
+        @given(st.lists(st.binary(min_size=0, max_size=40), max_size=8))
+        def run(payloads):
+            framed = b"".join(
+                len(p).to_bytes(3, "little") + bytes([i & 0xFF]) + p
+                for i, p in enumerate(payloads)
+            )
+            # short frames (below a 64-byte continuation limit) round-trip
+            got = list(iter_mysql_packets(framed, max_payload=64))
+            assert got == [p for p in payloads]
+
+        run()

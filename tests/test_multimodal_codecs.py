@@ -240,3 +240,64 @@ class TestMp4Metadata:
 
         with _pytest.raises(CodecError, match="moov"):
             parse_mp4_meta(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00")
+
+
+class TestMp4Fuzz:
+    def test_arbitrary_bytes_never_hang_or_crash(self):
+        """Malformed containers must raise CodecError (or parse), never
+        loop forever or throw anything unstructured."""
+        from hypothesis import given, settings, strategies as st
+
+        from myzql_binlog_connector_spark.operators.codecs import (
+            CodecError,
+            parse_mp4_meta,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.binary(min_size=0, max_size=256))
+        def run(data):
+            try:
+                parse_mp4_meta(data)
+            except CodecError:
+                pass
+
+        run()
+
+    def test_truncated_valid_container_raises_cleanly(self):
+        from myzql_binlog_connector_spark.operators.codecs import (
+            CodecError,
+            encode_mp4_meta,
+            parse_mp4_meta,
+        )
+
+        data = encode_mp4_meta(320, 240, 5000)
+        for cut in (9, 17, 33, len(data) // 2, len(data) - 3):
+            try:
+                parse_mp4_meta(data[:cut])
+            except CodecError:
+                pass  # clean structured failure
+
+    def test_mutated_box_sizes_raise_cleanly(self):
+        from hypothesis import given, settings, strategies as st
+
+        from myzql_binlog_connector_spark.operators.codecs import (
+            CodecError,
+            encode_mp4_meta,
+            parse_mp4_meta,
+        )
+
+        base = encode_mp4_meta(320, 240, 5000)
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            st.integers(min_value=0, max_value=len(base) - 1),
+            st.integers(min_value=0, max_value=255),
+        )
+        def run(pos, val):
+            data = base[:pos] + bytes([val]) + base[pos + 1:]
+            try:
+                parse_mp4_meta(data)
+            except CodecError:
+                pass  # the only acceptable failure mode
+
+        run()
