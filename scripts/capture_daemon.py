@@ -103,6 +103,14 @@ class Greeting:
             raise CaptureError(_err_text(payload))
         if not payload or payload[0] != 10:
             raise CaptureError(f"unsupported handshake protocol {payload[:1]!r}")
+        try:
+            self._parse(payload)
+        except (ValueError, IndexError) as e:
+            # malformed greeting bytes must fail structured, never leak a
+            # bare index/parse error to the daemon loop
+            raise CaptureError(f"malformed handshake greeting: {e}") from e
+
+    def _parse(self, payload: bytes) -> None:
         pos = 1
         end = payload.index(0, pos)
         self.server_version = payload[pos:end].decode("utf-8", "replace")

@@ -211,3 +211,38 @@ class TestErrorPaths:
             with pytest.raises(CaptureError, match="1064"):
                 list(c.dump())
             c.close()
+
+
+class TestGreetingFuzz:
+    def test_malformed_greetings_raise_structured(self):
+        from hypothesis import given, settings, strategies as st
+
+        from capture_daemon import Greeting
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(min_size=0, max_size=120))
+        def run(data):
+            try:
+                Greeting(data)
+            except CaptureError:
+                pass  # the only acceptable failure mode
+
+        run()
+
+    def test_valid_greeting_prefix_mutations(self):
+        from hypothesis import given, settings, strategies as st
+
+        from capture_daemon import Greeting
+        from mock_mysql_server import MockMySQLServer
+
+        base = MockMySQLServer(password="x")._greeting()
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.integers(min_value=1, max_value=len(base)))
+        def run(cut):
+            try:
+                Greeting(base[:cut])
+            except CaptureError:
+                pass
+
+        run()
