@@ -187,6 +187,38 @@ def q_cdc_change_feed(spark, sf_dir):
     )
 
 
+def q_cdc_time_travel(spark, sf_dir):
+    """Snapshot time travel (Iceberg VERSION AS OF analogue): apply the
+    events op stream as TWO commits (all INSERTs, then the UPDATE/DELETE
+    tail), then read the table AT the first committed version — the past
+    snapshot must equal the pure insert image, byte for byte, even though
+    the live table has moved on.  Manifests are immutable per version and
+    compaction never deletes data files, so any committed version stays
+    readable."""
+    import tempfile
+
+    from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+    from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+    events = harness.events_cdc_stream(spark, sf_dir, n_segments=2)
+    env = decode_changes(events)
+    table = BucketedLakeTable(
+        spark, tempfile.mkdtemp(prefix="cdc_tt_"), ["event_id"], n_buckets=8
+    )
+    applier = TranscriptsApplier(
+        spark,
+        table,
+        column_names=["event_id", "user_id", "event_type", "value", "props"],
+        key_positions=(0,),
+    )
+    applier.apply_batch(env.filter(F.col("dml_type") == "INSERT"), batch_id=0)
+    v1 = table.snapshot_manifest()["version"]
+    applier.apply_batch(env.filter(F.col("dml_type") != "INSERT"), batch_id=1)
+    return table.read(at_version=v1).select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+
+
 def q_cdc_partial_update(spark, sf_dir):
     """PARTIAL_UPDATE_ROWS(39): partial-JSON diffs decode to the
     ``{"$partial": [...]}`` envelope form (reference routes type 39 as a
@@ -767,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_decode_roundtrip": q_cdc_decode_roundtrip,
         "cdc_apply_state": q_cdc_apply_state,
         "cdc_schema_evolution": q_cdc_schema_evolution,
+        "cdc_time_travel": q_cdc_time_travel,
         "cdc_envelope_counts": q_cdc_envelope_counts,
         "cdc_bounded_replay": q_cdc_bounded_replay,
         "cdc_table_filter": q_cdc_table_filter,
@@ -884,6 +917,7 @@ def oracle_sql() -> dict[str, str]:
                    'INSERT' AS dml_type, CAST(count(*) AS BIGINT) AS n
             FROM documents
         """,
+        "cdc_time_travel": "SELECT event_id, user_id, event_type, value, props FROM events",
         "cdc_schema_evolution": """
             SELECT doc_id,
                    CASE WHEN doc_id % 4 = 0 THEN 'v2: ' || text ELSE text END AS text,

@@ -109,12 +109,32 @@ class BucketedLakeTable:
     def exists(self) -> bool:
         return os.path.exists(os.path.join(self._mdir(), LATEST))
 
-    def _read_manifest(self) -> dict:
-        with open(os.path.join(self._mdir(), LATEST)) as f:
-            version = int(f.read().strip())
-        with open(os.path.join(self._mdir(), f"v{version}.json")) as f:
+    def _read_manifest(self, version: int | None = None) -> dict:
+        if version is None:
+            with open(os.path.join(self._mdir(), LATEST)) as f:
+                version = int(f.read().strip())
+        mpath = os.path.join(self._mdir(), f"v{version}.json")
+        if not os.path.exists(mpath):
+            raise ValueError(
+                f"no manifest v{version} at {self._mdir()} "
+                f"(available: {sorted(self.versions())})"
+            )
+        with open(mpath) as f:
             m = json.load(f)
         return m
+
+    def versions(self) -> list[int]:
+        """Committed snapshot versions available for time travel."""
+        import re
+
+        if not os.path.isdir(self._mdir()):
+            return []
+        out = []
+        for name in os.listdir(self._mdir()):
+            mm = re.fullmatch(r"v(\d+)\.json", name)
+            if mm:
+                out.append(int(mm.group(1)))
+        return sorted(out)
 
     def _commit(self, manifest: dict):
         os.makedirs(self._mdir(), exist_ok=True)
@@ -170,14 +190,25 @@ class BucketedLakeTable:
             .select("_row.*")
         )
 
-    def read(self, include_tombstones: bool = False, include_meta: bool = False) -> DataFrame:
-        """Current snapshot as a DataFrame (live rows, payload columns).
+    def read(
+        self,
+        include_tombstones: bool = False,
+        include_meta: bool = False,
+        at_version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot as a DataFrame (live rows, payload columns).
+
+        ``at_version`` time-travels to an earlier committed snapshot
+        (Iceberg ``VERSION AS OF`` analogue): manifests are immutable and
+        retained per version, and compaction rewrites manifests but never
+        deletes data files, so any committed version stays readable.  A
+        future vacuum must bound this to its retention window.
 
         Buckets with a single (folded) file hold one version per key by
         construction and union in with no shuffle; only multi-file buckets
         pay the LWW aggregate.  Keys hash to exactly one bucket, so the
         aggregate over the multi-file union is bucket-local-correct."""
-        m = self._read_manifest()
+        m = self._read_manifest(at_version)
         schema = StructType.fromJson(json.loads(m["schema"]))
         single, multi = [], []
         for fl in m["files"].values():

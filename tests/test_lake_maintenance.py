@@ -258,3 +258,67 @@ class TestFoldWithEvolution:
         assert any(r.get("buckets_folded") for r in m["lineage"])
         rows = t.read().collect()
         assert [(r.k, r.val, r.score) for r in rows] == [(1, "c", 0.9)]
+
+
+class TestTimeTravel:
+    def test_read_at_version_returns_past_snapshot(self, spark, tmp_path):
+        from myzql_binlog_connector_spark.functions.decode import decode_changes
+        from myzql_binlog_connector_spark.genlog import (
+            encode_stream,
+            generate_ops,
+            replay_truth,
+        )
+        from myzql_binlog_connector_spark.genlog import write_segments_parquet
+        from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        ops = generate_ops(seed=61, n_convs=30, update_frac=0.3, delete_frac=0.2)
+        n_ins = sum(1 for o in ops if o.kind == "INSERT")
+        s1 = encode_stream(ops[:n_ins], n_segments=1, seed=61)
+        s2 = encode_stream(ops[n_ins:], n_segments=1, seed=61)
+        seg1, seg2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+        write_segments_parquet(s1, seg1)
+        write_segments_parquet(s2, seg2)
+
+        table = BucketedLakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4)
+        app = TranscriptsApplier(spark, table, salt=None)
+        app.apply_batch(decode_changes(spark.read.parquet(seg1)), batch_id=0)
+        v1 = table.snapshot_manifest()["version"]
+        # second commit must not collide with the first batch's stamps
+        env2 = decode_changes(spark.read.parquet(seg2))
+        from pyspark.sql import functions as F
+
+        # the second encode_stream restarts its stamps at 1 — shift them
+        # past batch 1's so LWW ordering reflects true arrival order
+        env2 = (
+            env2.withColumn("file_seq", F.col("file_seq") + 1)
+            .withColumn("gtid", F.col("gtid") + 1_000_000)
+            .withColumn("event_seq", F.col("event_seq") + 1_000_000)
+        )
+        app.apply_batch(env2, batch_id=1)
+
+        past = {(r.conv_id, r.turn_idx): r.text
+                for r in table.read(at_version=v1).collect()}
+        want_past = {k: v[3] for k, v in replay_truth(ops[:n_ins]).items()}
+        assert past == want_past
+        final = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
+        assert final == {k: v[3] for k, v in replay_truth(ops).items()}
+        assert v1 in table.versions()
+
+    def test_unknown_version_raises_with_available_list(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+        from myzql_binlog_connector_spark.functions.decode import decode_changes
+        from myzql_binlog_connector_spark.genlog import generate_stream, write_segments_parquet
+        from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+
+        stream = generate_stream(seed=62, n_convs=5, n_segments=1)
+        seg = str(tmp_path / "seg")
+        write_segments_parquet(stream, seg)
+        table = BucketedLakeTable(spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=2)
+        TranscriptsApplier(spark, table, salt=None).apply_batch(
+            decode_changes(spark.read.parquet(seg)), batch_id=0
+        )
+        with _pytest.raises(ValueError, match="available"):
+            table.read(at_version=999)
