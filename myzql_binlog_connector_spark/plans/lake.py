@@ -562,3 +562,51 @@ class BucketedLakeTable:
         ]
         self._commit(m)
         return {"version": version, "compacted_buckets": targets}
+
+    def vacuum(self, retain_last: int = 10) -> dict:
+        """Reclaim storage: delete data files unreachable from the last
+        ``retain_last`` committed manifests, then drop the older manifests
+        themselves.  This bounds time travel AND the change feed to the
+        retention window (reads at vacuumed versions raise; read_changes
+        serves only retained commits' delta files) — the Iceberg
+        expire-snapshots analogue.  The live snapshot is never touched:
+        the latest manifest is always retained.
+
+        At 100 TB this is the storage-reclamation half of maintenance:
+        merge-on-read appends and folds leave superseded delta files on
+        disk precisely so time travel/changelog stay cheap; vacuum is
+        where their lifetime ends, explicitly and atomically-per-file."""
+        versions = self.versions()
+        keep = set(versions[-max(1, retain_last):])
+        live: set[str] = set()
+        for v in sorted(keep):
+            m = self._read_manifest(v)
+            for fl in m["files"].values():
+                live.update(os.path.abspath(p) for p in fl)
+            for rec in m.get("lineage", []):
+                # retained commits' delta files keep the change feed readable
+                if rec.get("version") in keep and rec.get("delta_files"):
+                    live.update(os.path.abspath(p) for p in rec["delta_files"])
+        data_root = os.path.join(self.path, "data")
+        removed_files = removed_bytes = 0
+        for dirpath, _dirs, files in os.walk(data_root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                if fn.endswith(".parquet") and os.path.abspath(p) not in live:
+                    removed_bytes += os.path.getsize(p)
+                    os.remove(p)
+                    removed_files += 1
+        for dirpath, _dirs, _files in os.walk(data_root, topdown=False):
+            if dirpath != data_root and not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        removed_manifests = 0
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(self._mdir(), f"v{v}.json"))
+                removed_manifests += 1
+        return {
+            "removed_files": removed_files,
+            "removed_bytes": removed_bytes,
+            "removed_manifests": removed_manifests,
+            "retained_versions": sorted(keep),
+        }

@@ -322,3 +322,75 @@ class TestTimeTravel:
         )
         with _pytest.raises(ValueError, match="available"):
             table.read(at_version=999)
+
+
+class TestVacuum:
+    def _three_commits(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from myzql_binlog_connector_spark.functions.decode import decode_changes
+        from myzql_binlog_connector_spark.genlog import (
+            encode_stream,
+            generate_ops,
+            replay_truth,
+            write_segments_parquet,
+        )
+        from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        ops = generate_ops(seed=71, n_convs=30, update_frac=0.3, delete_frac=0.2)
+        n_ins = sum(1 for o in ops if o.kind == "INSERT")
+        cut = n_ins + (len(ops) - n_ins) // 2
+        table = BucketedLakeTable(
+            spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4
+        )
+        app = TranscriptsApplier(spark, table, salt=None)
+        for i, (lo, hi) in enumerate([(0, n_ins), (n_ins, cut), (cut, len(ops))]):
+            seg = str(tmp_path / f"s{i}")
+            write_segments_parquet(encode_stream(ops[lo:hi], n_segments=1, seed=71), seg)
+            env = (
+                decode_changes(spark.read.parquet(seg))
+                .withColumn("file_seq", F.col("file_seq") + i)
+                .withColumn("gtid", F.col("gtid") + i * 1_000_000)
+                .withColumn("event_seq", F.col("event_seq") + i * 1_000_000)
+            )
+            app.apply_batch(env, batch_id=i)
+        return table, {k: v[3] for k, v in replay_truth(ops).items()}
+
+    def test_vacuum_reclaims_and_bounds_time_travel(self, spark, tmp_path):
+        import glob
+        import pytest as _pytest
+
+        table, truth = self._three_commits(spark, tmp_path)
+        # merge-on-read keeps every delta file live in the latest manifest
+        # until a fold/compaction supersedes it — nothing to reclaim yet
+        assert table.vacuum(retain_last=len(table.versions()))["removed_files"] == 0
+        table.compact()  # rewrites buckets; old delta files leave files{}
+        versions = table.versions()
+        assert len(versions) == 4
+        n_files_before = len(
+            glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True)
+        )
+        stats = table.vacuum(retain_last=1)
+        assert stats["removed_manifests"] == 3
+        assert stats["removed_files"] >= 1
+        n_files_after = len(
+            glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True)
+        )
+        assert n_files_after < n_files_before
+        # the live snapshot is intact
+        got = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
+        assert got == truth
+        # vacuumed versions are gone, retained one still reads
+        with _pytest.raises(ValueError, match="available"):
+            table.read(at_version=versions[0])
+        assert table.read(at_version=versions[-1]).count() == len(truth)
+
+    def test_vacuum_keeps_retained_change_feed(self, spark, tmp_path):
+        table, _ = self._three_commits(spark, tmp_path)
+        stats = table.vacuum(retain_last=2)
+        keep = stats["retained_versions"]
+        feed = table.read_changes(from_version=keep[0])
+        versions_in_feed = {r._commit_version for r in feed.select("_commit_version").collect()}
+        assert versions_in_feed == set(keep)
+        assert feed.count() > 0
