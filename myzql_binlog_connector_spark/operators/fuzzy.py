@@ -10,8 +10,10 @@ Scale shape (10^9 docs):
     combine keeps the shuffle at one row per doc.
   * LSH candidate pairs: self-equi-join on (band, minhash) — the classic
     banding join; band buckets are high-cardinality so AQE handles skew.
-  * verification: exact Jaccard only on candidates (array_intersect /
-    array_union on the two shingle sets).
+  * verification: exact Jaccard only on candidates — either a CSR
+    broadcast of per-doc shingle-hash sets with one vectorized intersect
+    per Arrow batch (byte-capped), or row-level (pair, shingle)
+    equi-joins at unbounded scale (see :func:`ngram_jaccard`).
 """
 
 from __future__ import annotations

@@ -253,7 +253,9 @@ def ann_topk_ivf(
     per vector, map-side combinable — never a window over N×K rows); the
     probe search joins only the selected cells (≈ nprobe/K of the corpus).
     Similarities are rounded before ranking with id tie-breaks, so results
-    are stable across engines and float summation orders."""
+    are stable across engines and float summation orders; norms are
+    projected per side before every join, so each joined stage computes
+    one Arrow-batched dot per pair."""
     cents = corpus.filter((F.col(id_col) % stride) == 0).select(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).alias("_cvec"),
@@ -261,7 +263,7 @@ def ann_topk_ivf(
     )
 
     # cell assignment: argmax centroid per vector (norms precomputed per
-    # side — the N×K joined stage evaluates one unrolled dot per pair)
+    # side — the N×K joined stage computes one Arrow-batched dot per pair)
     c = corpus.withColumn("_vnrm", norm_arrow(F.col(vec_col), dims))
     sim_c = F.round(
         dot_arrow(F.col(vec_col), F.col("_cvec"), dims)
