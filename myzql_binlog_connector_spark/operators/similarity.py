@@ -185,7 +185,15 @@ def ann_topk_bruteforce(
     oracle)."""
     from .fuzzy import _spread
 
-    probe_rows = probes.select(id_col, vec_col).collect()  # probe set is small by contract
+    # the probe set is small by contract (user queries); guard the driver
+    # against an accidental corpus-sized argument before collecting
+    n_probes_df = probes.limit(100_001).count()
+    if n_probes_df > 100_000:
+        raise ValueError(
+            "ann_topk_bruteforce probes must be a small query set "
+            f"(got >100k rows) — swap corpus/probes or use ann_topk_ivf"
+        )
+    probe_rows = probes.select(id_col, vec_col).collect()
     pids = [r[0] for r in probe_rows]
     P = np.array([list(r[1]) for r in probe_rows], dtype=np.float64)
     pn = np.sqrt(_seq_rowdot(P, P))

@@ -572,6 +572,11 @@ class BucketedLakeTable:
         expire-snapshots analogue.  The live snapshot is never touched:
         the latest manifest is always retained.
 
+        Run from the single maintenance writer while no reader is pinned
+        to a version being expired (same operational contract as Iceberg
+        expire-snapshots): an in-flight read that planned against a
+        vacuumed manifest would lose files mid-scan.
+
         At 100 TB this is the storage-reclamation half of maintenance:
         merge-on-read appends and folds leave superseded delta files on
         disk precisely so time travel/changelog stay cheap; vacuum is
