@@ -163,6 +163,11 @@ def _emit_image(lines, ind, schema, present, env, hex_bytes=True):
         lines.append(f"{ind}nm = buf[pos]; pos += 1")
     else:
         lines.append(f"{ind}nm = ifb(buf[pos:pos + {nbn}], 'little'); pos += {nbn}")
+    if not present:
+        # empty present bitmap (e.g. minimal before-image): nothing to
+        # decode after the null-bitmap read — emitting the two-branch form
+        # would produce empty suites (SyntaxError at compile time)
+        return
     lines.append(f"{ind}if nm == 0:")
     for i in present:
         spec = schema.columns[i]

@@ -241,18 +241,20 @@ class BucketedLakeTable:
         batch-reduced upserts/tombstones (``_deleted`` = delete).
 
         Compaction rewrites manifests but never deletes data files, so
-        feeds over folded history stay readable; a future vacuum must
-        retain delta files within the changelog retention window.
-        Retention = the lineage window (last 200 commits kept in the
-        manifest) — older versions age out of the feed."""
+        feeds over folded history stay readable.  Retention = the lineage
+        window (last 200 commits kept in the manifest) intersected with
+        the vacuum window: ``vacuum()`` deletes expired versions' delta
+        files, so the feed floors ``from_version`` at the oldest retained
+        manifest — lineage records below it would plan deleted paths."""
         m = self._read_manifest()
         schema = StructType.fromJson(json.loads(m["schema"]))
         hi = m["version"] if to_version is None else to_version
+        lo = max(from_version, min(self.versions(), default=from_version))
         parts = []
         for rec in m.get("lineage", []):
             v = rec.get("version")
             files = rec.get("delta_files")
-            if files and from_version <= v <= hi and not rec.get("compaction"):
+            if files and lo <= v <= hi and not rec.get("compaction"):
                 parts.append(
                     self._read_files(files, m["schema"]).withColumn(
                         "_commit_version", F.lit(int(v))

@@ -427,10 +427,18 @@ def main(argv=None) -> int:
         gtid_set = GtidSet.from_text(gtids_text)
     resume_path = os.path.join(args.out_dir, "_resume.json")
     binlog_file, binlog_pos = args.binlog_file, args.binlog_pos
-    if gtid_set is None and not binlog_file and os.path.exists(resume_path):
+    start_file_seq = args.start_file_seq
+    resume = None
+    if os.path.exists(resume_path):
         with open(resume_path) as f:
-            r = json.load(f)
-        binlog_file, binlog_pos = r["binlog_file"], r["binlog_pos"]
+            resume = json.load(f)
+    if gtid_set is None and not binlog_file and resume is not None:
+        binlog_file, binlog_pos = resume["binlog_file"], resume["binlog_pos"]
+    # restore segment numbering on BOTH resume paths (file/pos and GTID):
+    # without this a restart re-writes segment-000001.parquet over already
+    # captured segments; an explicit --start-file-seq still wins
+    if resume is not None and start_file_seq == 1:
+        start_file_seq = int(resume.get("next_file_seq", start_file_seq))
 
     client = MySQLBinlogClient(
         args.host, args.port, args.user, args.password,
@@ -439,7 +447,7 @@ def main(argv=None) -> int:
     try:
         paths = capture_live(
             client, args.out_dir, binlog_file, binlog_pos,
-            args.start_file_seq, gtid_set=gtid_set,
+            start_file_seq, gtid_set=gtid_set,
         )
     finally:
         client.close()

@@ -132,6 +132,11 @@ def iter_segments(payloads, start_file_seq: int = 1, state: dict | None = None):
                 yield file_seq, cur, {
                     "binlog_file": rot.next_file,
                     "binlog_pos": rot.next_position,
+                    # the open (next) segment's seq: a restarted capture must
+                    # keep numbering AFTER the flushed segments, or it would
+                    # overwrite segment-%06d.parquet files with later binlog
+                    # content and break the monotonic (file_seq, offset) order
+                    "next_file_seq": file_seq + 1,
                 }
                 cur = []
                 file_seq += 1

@@ -182,6 +182,45 @@ class TestCaptureEndToEnd:
         with open(os.path.join(out_dir, "_resume.json")) as f:
             r = json.load(f)
         assert r["binlog_pos"] == 4 and r["binlog_file"].startswith("binlog.")
+        assert r["next_file_seq"] >= 2  # numbering continues past flushed segs
+
+    def test_restart_resumes_file_seq_without_overwrite(self, tmp_path):
+        """A restarted capture must continue segment numbering from
+        _resume.json's next_file_seq — NOT re-write segment-000001.parquet
+        over previously captured segments (which would silently corrupt the
+        monotonic (file_seq, offset) LWW order the engine relies on)."""
+        import json
+
+        import pyarrow.parquet as pq
+
+        from capture_daemon import main as daemon_main
+
+        out_dir = str(tmp_path / "segs")
+        base = ["--host", "127.0.0.1", "--user", "repl", "--password", "pw"]
+        s1 = encode_stream(generate_ops(seed=41, n_convs=10), n_segments=2, seed=41)
+        with MockMySQLServer(password="pw", event_payloads=_event_payloads(s1)) as srv:
+            assert daemon_main([out_dir, *base, "--port", str(srv.port)]) == 0
+        first = sorted(p for p in os.listdir(out_dir) if p.endswith(".parquet"))
+        assert first, "first run flushed no segments"
+        with open(os.path.join(out_dir, "_resume.json")) as f:
+            assert json.load(f)["next_file_seq"] == len(first) + 1
+        before = {
+            p: pq.read_table(os.path.join(out_dir, p)).column("event_blob").to_pylist()
+            for p in first
+        }
+
+        s2 = encode_stream(generate_ops(seed=43, n_convs=8), n_segments=2, seed=43)
+        with MockMySQLServer(password="pw", event_payloads=_event_payloads(s2)) as srv:
+            assert daemon_main([out_dir, *base, "--port", str(srv.port)]) == 0
+        after = sorted(p for p in os.listdir(out_dir) if p.endswith(".parquet"))
+        assert len(after) == 2 * len(first)  # new segments appended, none replaced
+        for p in first:  # original capture bytes untouched
+            assert (
+                pq.read_table(os.path.join(out_dir, p)).column("event_blob").to_pylist()
+                == before[p]
+            )
+        seqs = [int(p.split("-")[1].split(".")[0]) for p in after]
+        assert seqs == list(range(1, len(after) + 1))
 
 
 class TestGtidResume:

@@ -394,3 +394,20 @@ class TestVacuum:
         versions_in_feed = {r._commit_version for r in feed.select("_commit_version").collect()}
         assert versions_in_feed == set(keep)
         assert feed.count() > 0
+
+    def test_read_changes_below_retention_floors_not_fails(self, spark, tmp_path):
+        """ADVICE r3: after vacuum deletes expired delta files, the lineage
+        records that reference them remain in the retained manifest —
+        read_changes with a from_version below the retention window must
+        skip them (floor at the oldest retained manifest), not plan the
+        deleted paths and fail mid-read."""
+        table, truth = self._three_commits(spark, tmp_path)
+        table.compact()  # supersedes the delta files in files{}
+        table.vacuum(retain_last=1)  # deletes commits 1-3's delta files
+        floor = min(table.versions())
+        feed = table.read_changes()  # default from_version=1 < floor
+        rows = feed.collect()  # must not raise missing-file errors
+        assert all(r._commit_version >= floor for r in rows)
+        # the live snapshot is unaffected
+        got = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
+        assert got == truth

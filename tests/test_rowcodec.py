@@ -250,6 +250,31 @@ class TestCrcVerification:
         assert len(rows) == 1
 
 
+class TestEmptyPresentBitmap:
+    def test_empty_present_compiles_and_parses(self):
+        """An empty present bitmap must not generate empty if/else suites
+        (SyntaxError at compile time — round-3 ADVICE).  A zero-present
+        image is zero bytes, so the parser sees pos == end and returns 0."""
+        from myzql_binlog_connector_spark.binlog.rowcodec import (
+            get_env_parser,
+            get_typed_parser,
+        )
+
+        for dml in ("INSERT", "DELETE", "UPDATE"):
+            p = get_env_parser(
+                TRANSCRIPTS_SCHEMA, f"ep-{dml}", b"", b"", dml
+            )
+            b, a = [], []
+            assert p(b"", 0, 0, b.append, a.append) == 0
+            assert b == [] and a == []
+        t = get_typed_parser(
+            TRANSCRIPTS_SCHEMA, "ep-t", b"", b"", "DELETE",
+            ("s", "i", "s", "s", "s", "s"), (0, 1), 6,
+        )
+        cols = [[] for _ in range(7)]
+        assert t(b"", 0, 0, tuple(c.append for c in cols[:6]), cols[6].append) == 0
+
+
 class TestBlobViews:
     def test_zero_copy_views_match_pylist_including_high_bytes(self):
         """pyarrow Buffer memoryviews export format 'b' (signed); the cast
