@@ -595,10 +595,13 @@ def q_windowed_event_counts(spark, sf_dir):
     Arrival order: events staged into time-ordered ~400-row files, but
     every event_id % 17 == 0 row is DEFERRED one file (genuinely late —
     the watermark has advanced past it when it arrives; its window updates
-    late).  Deferral lateness is bounded by two file spans (~33 h of event
-    time) < the 48 h watermark delay, so no row is dropped and the oracle
-    stays a plain GROUP BY.  Counts are monotone under update mode, so the
-    final state is the per-(window, type) max over the sink."""
+    late).  Deferral lateness is bounded by one file's event-time span,
+    which depends on data DENSITY (sf0.001: ~240 h/file; sf0.1: <1 h/file)
+    — so the watermark delay is derived from the observed max file span
+    (2.5× + the 48 h floor) instead of being hard-coded: no row is ever
+    dropped at any SF and the oracle stays a plain GROUP BY.  Counts are
+    monotone under update mode, so the final state is the per-(window,
+    type) max over the sink."""
     import os
     import tempfile
 
@@ -616,12 +619,20 @@ def q_windowed_event_counts(spark, sf_dir):
     rows.sort(key=lambda r: r[1])
     chunks: list[list] = []
     defer: list = []
+    max_span_us = 0
     for i in range(0, len(rows), 400):
         cur = rows[i : i + 400]
+        if cur:
+            max_span_us = max(max_span_us, cur[-1][1] - cur[0][1])
         chunks.append(defer + [r for r in cur if r[0] % 17 != 0])
         defer = [r for r in cur if r[0] % 17 == 0]
     if defer:
         chunks.append(defer)
+    # deferred rows are late by at most one file's event-time span; a delay
+    # comfortably above that keeps them inside the watermark at ANY data
+    # density (at sf0.001 a 400-row file spans ~240 h — a fixed 48 h delay
+    # would silently drop them and diverge from the GROUP BY oracle)
+    delay_hours = max(48, int(2.5 * max_span_us / 3_600_000_000) + 1)
 
     root = tempfile.mkdtemp(prefix="wm_counts_")
     src = os.path.join(root, "src")
@@ -645,7 +656,7 @@ def q_windowed_event_counts(spark, sf_dir):
         .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
     )
     agg = (
-        stream.withWatermark("ts", "48 hours")
+        stream.withWatermark("ts", f"{delay_hours} hours")
         .groupBy(F.window("ts", "6 hours"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -863,9 +874,10 @@ def oracle_sql() -> dict[str, str]:
     shingle_cte = fuzzy.shingle_cte_sql("documents", "text", "doc_id", 5)
     tok_count = ("CASE WHEN trim(text)='' THEN 0 "
                  "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END")
-    # minhash pairs → connected components, shared by the clusters and the
-    # dedup-survivors oracles (same pipeline, different final SELECT)
-    clusters_cte = f"""{shingle_cte},
+    # minhash pairs pipeline (banding → signature-agreement prefilter →
+    # exact Jaccard verify), shared by the pairs, clusters, and
+    # dedup-survivors oracles — mirrors fuzzy.minhash_dup_pairs exactly
+    dup_pairs_cte = f"""{shingle_cte},
             sigs AS (
               SELECT doc_id, {fuzzy.minhash_sig_select_sql(8)}
               FROM shingled GROUP BY doc_id
@@ -882,6 +894,13 @@ def oracle_sql() -> dict[str, str]:
               FROM bands l JOIN bands r
                 ON l.band = r.band AND l.mh = r.mh AND l.doc_id < r.doc_id
             ),
+            candf AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c
+              JOIN sigs sa ON sa.doc_id = c.id_a
+              JOIN sigs sb ON sb.doc_id = c.id_b
+              WHERE {fuzzy.sig_agreement_sql(8)} >= {fuzzy.min_sig_agree(8, 0.35)}
+            ),
             sets AS (
               SELECT doc_id, list(DISTINCT sh) AS shset FROM shingled GROUP BY doc_id
             ),
@@ -889,10 +908,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT c.id_a, c.id_b,
                      round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
                            / len(list_distinct(list_concat(a.shset, b.shset))), 4) AS jaccard
-              FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b
+              FROM candf c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b
               WHERE round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
                           / len(list_distinct(list_concat(a.shset, b.shset))), 4) >= 0.35
-            ),
+            )"""
+    clusters_cte = f"""{dup_pairs_cte},
             edges AS (
               SELECT id_a AS a, id_b AS b FROM dup_pairs
               UNION
@@ -1051,34 +1071,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": fuzzy.minhash_signature_sql("documents", "text", "doc_id", 8, 5),
         "minhash_dup_pairs": f"""
-            WITH {shingle_cte},
-            sigs AS (
-              SELECT doc_id, {fuzzy.minhash_sig_select_sql(8)}
-              FROM shingled GROUP BY doc_id
-            ),
-            bands AS (
-              SELECT doc_id, band, mh FROM sigs,
-              LATERAL (VALUES {', '.join(
-                  f"({b}, concat(CAST(mh_{2*b} AS VARCHAR), '_', CAST(mh_{2*b+1} AS VARCHAR)))"
-                  for b in range(4)
-              )}) AS v(band, mh)
-            ),
-            cand AS (
-              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-              FROM bands l JOIN bands r
-                ON l.band = r.band AND l.mh = r.mh AND l.doc_id < r.doc_id
-            ),
-            sets AS (
-              SELECT doc_id, list(DISTINCT sh) AS shset FROM shingled GROUP BY doc_id
-            ),
-            dup_pairs AS (
-              SELECT c.id_a, c.id_b,
-                     round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-                           / len(list_distinct(list_concat(a.shset, b.shset))), 4) AS jaccard
-              FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b
-              WHERE round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
-                          / len(list_distinct(list_concat(a.shset, b.shset))), 4) >= 0.35
-            )
+            WITH {dup_pairs_cte}
             SELECT id_a, id_b, jaccard FROM dup_pairs
         """,
         "minhash_dup_clusters": f"""

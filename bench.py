@@ -204,6 +204,13 @@ def main():
 
     for name in HEADLINE:
         fn = qfns[name]
+        # one untimed warm-up pass per query (same policy as the CDC
+        # benches): python-worker spin-up, Arrow serializer init, and plan
+        # compile are JVM/process cold start, not engine throughput —
+        # round-3 numbers charged them to whichever query ran first with
+        # a pandas_udf and made round-over-round deltas lie
+        fn(spark, sf_dir).count()
+        release_cached()  # warm pass must not hand its caches to the timed one
         t0 = time.monotonic()
         # count() forces full execution without collecting rows to driver
         fn(spark, sf_dir).count()

@@ -136,11 +136,14 @@ def dedup_survivors(
 
     Composes :func:`connected_components` over the verified dup pairs and
     anti-joins the non-canonical members (cluster_id != doc_id) out of the
-    corpus — the standard 'dedup the training corpus' end step.  The drop
-    set is cluster-member-sized (≪ corpus), so the anti-join broadcasts in
-    practice; the corpus itself never shuffles."""
+    corpus — the standard 'dedup the training corpus' end step.  No
+    broadcast hint: on a dirty web crawl the drop set is commonly 30-50%
+    of ALL docs — corpus-scale, and a forced broadcast would bypass
+    Spark's size-based planning and OOM the driver/executors.  AQE picks
+    broadcast when the drop set is actually small and a shuffled anti-join
+    when it isn't; either way the result is identical."""
     cc = connected_components(pairs, id_a=id_a, id_b=id_b)
     drop = cc.filter(F.col("cluster_id") != F.col("doc_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    return df.join(F.broadcast(drop), id_col, "left_anti")
+    return df.join(drop, id_col, "left_anti")

@@ -186,14 +186,15 @@ def ann_topk_bruteforce(
     from .fuzzy import _spread
 
     # the probe set is small by contract (user queries); guard the driver
-    # against an accidental corpus-sized argument before collecting
-    n_probes_df = probes.limit(100_001).count()
-    if n_probes_df > 100_000:
+    # against an accidental corpus-sized argument — one job: collect a
+    # 100k+1-row-capped slice and length-check it (a prior count()+collect()
+    # pair ran two scans)
+    probe_rows = probes.select(id_col, vec_col).limit(100_001).collect()
+    if len(probe_rows) > 100_000:
         raise ValueError(
             "ann_topk_bruteforce probes must be a small query set "
             f"(got >100k rows) — swap corpus/probes or use ann_topk_ivf"
         )
-    probe_rows = probes.select(id_col, vec_col).collect()
     pids = [r[0] for r in probe_rows]
     P = np.array([list(r[1]) for r in probe_rows], dtype=np.float64)
     pn = np.sqrt(_seq_rowdot(P, P))

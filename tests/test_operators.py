@@ -110,6 +110,35 @@ class TestFuzzyDedup:
         }
         assert bcast == rows
 
+    def test_min_sig_agree_bound(self):
+        """Prefilter bound: band collisions guarantee band_rows agreements,
+        so the cut must sit strictly above them to prune anything."""
+        from myzql_binlog_connector_spark.operators.fuzzy import min_sig_agree
+
+        assert min_sig_agree(8, 0.35) == 5  # 2 + ceil(6 * 0.35)
+        assert min_sig_agree(8, 0.6) == 6   # 2 + ceil(6 * 0.6)
+        for t in (0.0, 0.2, 0.5, 0.9):
+            assert min_sig_agree(8, t, band_rows=2) > 2
+
+    def test_prefilter_keeps_near_dups_drops_weak_collisions(self, spark):
+        """Docs sharing one boilerplate sentence band-collide but have low
+        Jaccard — the signature-agreement prefilter must refute them while
+        real near-duplicates still verify."""
+        from myzql_binlog_connector_spark.operators.fuzzy import minhash_dup_pairs
+
+        boiler = "subscribe to our newsletter for updates and offers. "
+        rows = [
+            (0, boiler + "quantum computing advances in error correction."),
+            (1, boiler + "quantum computing advances in error correctiom."),  # near dup of 0
+            (2, boiler + "the housing market cooled sharply last quarter."),
+            (3, boiler + "recipes for fermented vegetables and miso soup."),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        pairs = {(r.id_a, r.id_b): r.jaccard
+                 for r in minhash_dup_pairs(docs, jaccard_threshold=0.5).collect()}
+        assert (0, 1) in pairs and pairs[(0, 1)] > 0.5
+        assert all({a, b} == {0, 1} for a, b in pairs)
+
     def test_release_cached_frees_all_blocks(self, spark, docs):
         from myzql_binlog_connector_spark.operators.fuzzy import (
             minhash_dup_pairs,
@@ -285,3 +314,26 @@ class TestDedupSurvivors:
         )
         kept = {r.doc_id for r in dedup_survivors(docs, pairs).collect()}
         assert kept == {0, 3, 4, 5, 7}
+
+    def test_majority_duplicates_corpus_no_forced_broadcast(self, spark):
+        """Dirty-crawl shape: most of the corpus is near-duplicate members,
+        so the drop set is corpus-scale — the plan must not FORCE a
+        broadcast of it (size-based planning decides; either join strategy
+        is acceptable), and the result must still be exact."""
+        from myzql_binlog_connector_spark.operators.dedup import dedup_survivors
+
+        n = 400
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(n)], "doc_id bigint, text string"
+        )
+        # 40 clusters of 10 consecutive ids each → 90% of docs dropped
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n) if i % 10 != 9],
+            "id_a bigint, id_b bigint",
+        )
+        out = dedup_survivors(docs, pairs)
+        assert {r.doc_id for r in out.collect()} == {i for i in range(0, n, 10)}
+        # no ResolvedHint/broadcast function in the LOGICAL plan — the
+        # optimizer may still CHOOSE broadcast from size estimates
+        logical = out._jdf.queryExecution().logical().toString()
+        assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
