@@ -826,6 +826,44 @@ class BinlogSession:
         pre = self._pre_rows(blob, file_seq)
         if pre is None:
             return 0
+        return self._columnar_after_pre(pre, file_seq, gtid, event_seq, out)
+
+    def process_packet_columnar_vec(
+        self,
+        blob: bytes | memoryview,
+        file_seq: int,
+        gtid: int,
+        event_seq: int,
+        out: EnvelopeBatch,
+        vec,
+    ) -> int:
+        """Like :meth:`process_packet_columnar`, but ROWS events whose
+        (schema, bitmaps, DML) have a vectorized envelope plan defer into
+        ``vec`` (a :class:`rowvec.EnvVecCollector`) for batched numpy
+        decode + JSON piece assembly; returns rows appended to ``out``
+        (0 for deferred events)."""
+        pre = self._pre_rows(blob, file_seq)
+        if pre is None:
+            return 0
+        hdr, et, payload, table_id, schema = pre
+        if et != EventType.PARTIAL_UPDATE_ROWS:
+            pos, n_cols, p1, p2 = rows_prelude(et, payload, self._is_v2(et))
+            desc = self._schema_desc[table_id]
+            key, plan = vec.plan_for(
+                desc, _dml_for(et), schema,
+                _present_list(p1, n_cols), _present_list(p2, n_cols),
+            )
+            if plan is not None:
+                g, es = self.effective_ids(gtid, event_seq)
+                vec.defer(
+                    key, plan, payload, pos, g, es, file_seq, hdr.log_pos,
+                    hdr.timestamp, hdr.server_id, schema.database,
+                    schema.table, desc,
+                )
+                return 0
+        return self._columnar_after_pre(pre, file_seq, gtid, event_seq, out)
+
+    def _columnar_after_pre(self, pre, file_seq, gtid, event_seq, out) -> int:
         hdr, et, payload, table_id, schema = pre
         if et == EventType.PARTIAL_UPDATE_ROWS:
             # partial-JSON layout is data-dependent per row (value_options +
@@ -899,6 +937,25 @@ class BinlogSession:
         pre = self._pre_rows(blob, file_seq)
         if pre is None:
             return 0
+        return self._typed_after_pre(
+            pre, file_seq, gtid, event_seq, apps, meta_cols,
+            kinds, key_positions, n_payload,
+        )
+
+    def _typed_after_pre(
+        self,
+        pre,
+        file_seq: int,
+        gtid: int,
+        event_seq: int,
+        apps: tuple,
+        meta_cols: list,
+        kinds: tuple,
+        key_positions: tuple,
+        n_payload: int,
+    ) -> int:
+        """Per-row typed decode of a classified ROWS event (shared by the
+        plain and vec-deferring entry points)."""
         hdr, et, payload, table_id, schema = pre
         if et == EventType.PARTIAL_UPDATE_ROWS:
             changes = parse_rows_event(
@@ -953,6 +1010,51 @@ class BinlogSession:
         meta_cols[4].extend([hdr.log_pos] * k)
         self.rows_emitted += k
         return k
+
+    def process_packet_typed_vec(
+        self,
+        blob: bytes | memoryview,
+        file_seq: int,
+        gtid: int,
+        event_seq: int,
+        apps: tuple,
+        meta_cols: list,
+        kinds: tuple,
+        key_positions: tuple,
+        n_payload: int,
+        vec,
+    ) -> int:
+        """Like :meth:`process_packet_typed`, but ROWS events whose
+        (schema, present bitmaps, DML) have a vectorized plan are DEFERRED
+        into ``vec`` (a :class:`rowvec.TypedVecCollector`) for batched
+        numpy decode at flush time; everything else — state events,
+        partial updates, unsupported column types — takes the per-row
+        path immediately.  Deferral is safe because classification runs
+        sequentially: TABLE_MAP/GTID state and the effective ordering ids
+        are captured per event before decode is postponed.  Returns rows
+        appended to the list builders (0 for deferred events — their rows
+        surface in ``vec.flush()``'s RecordBatches)."""
+        pre = self._pre_rows(blob, file_seq)
+        if pre is None:
+            return 0
+        hdr, et, payload, table_id, schema = pre
+        if et != EventType.PARTIAL_UPDATE_ROWS:
+            pos, n_cols, p1, p2 = rows_prelude(et, payload, self._is_v2(et))
+            key, plan = vec.plan_for(
+                self._schema_desc[table_id],
+                _dml_for(et),
+                schema,
+                _present_list(p1, n_cols),
+                _present_list(p2, n_cols),
+            )
+            if plan is not None:
+                g, es = self.effective_ids(gtid, event_seq)
+                vec.defer(key, plan, payload, pos, g, es, file_seq, hdr.log_pos)
+                return 0
+        return self._typed_after_pre(
+            pre, file_seq, gtid, event_seq, apps, meta_cols,
+            kinds, key_positions, n_payload,
+        )
 
     def effective_ids(self, gtid: int, event_seq: int) -> tuple[int, int]:
         """In-band GTID (from GTID_LOG_EVENTs) wins over the side-column

@@ -125,9 +125,12 @@ def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 81
     from ..binlog.decoder import EnvelopeBatch
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from ..binlog.rowvec import EnvVecCollector
+
         session = BinlogSession(
             table_filter=table_filter, stop_position=stop_position, verify_crc=verify_crc
         )
+        vec = EnvVecCollector(_ARROW_ENVELOPE)
         out = EnvelopeBatch()
         for batch in batches:
             file_seqs = batch.column("file_seq").to_pylist()
@@ -135,14 +138,21 @@ def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 81
             event_seqs = batch.column("event_seq").to_pylist()
             blobs = _blob_views(batch.column("event_blob"))
             for i in range(batch.num_rows):
-                session.process_packet_columnar(
-                    blobs[i], file_seqs[i], gtids[i], event_seqs[i], out
+                session.process_packet_columnar_vec(
+                    blobs[i], file_seqs[i], gtids[i], event_seqs[i], out, vec
                 )
                 if len(out) >= out_batch_rows:
                     yield _env_to_batch(out)
                     out = EnvelopeBatch()
+            if vec.rows_hint >= 1 << 19:
+                for rb in vec.flush():
+                    session.rows_emitted += rb.num_rows
+                    yield rb
         if len(out):
             yield _env_to_batch(out)
+        for rb in vec.flush():
+            session.rows_emitted += rb.num_rows
+            yield rb
 
     return decode_partition
 
@@ -229,21 +239,26 @@ def make_typed_decoder(
     def decode_stream(packet_iter):
         """packet_iter yields (blob, file_seq, gtid, event_seq).
 
-        The code-generated typed parsers (binlog/rowcodec.py) append decoded
-        values straight into the Arrow builder lists — fully inlined column
-        decode, no RowChange objects, no per-value closures."""
+        Hot shape (fixed-width + varchar + timestamp columns — the whole
+        transcripts schema): events defer into a ``TypedVecCollector`` and
+        decode as batched numpy array programs (binlog/rowvec.py) — no
+        per-row Python at all.  Everything else (partial updates, cold
+        column types) decodes through the code-generated per-row parsers
+        (binlog/rowcodec.py) appending into Arrow builder lists."""
         from ..binlog.decoder import BinlogSession
+        from ..binlog.rowvec import TypedVecCollector
 
         session = BinlogSession(table_filter=table_filter, stop_position=stop_position)
+        vec = TypedVecCollector(kinds_t, keys_t, n_payload, arrow_schema)
         cols = new_cols()
         # apps: payload appends + _deleted append; meta_cols: the rest
         apps = tuple(c.append for c in cols[: n_payload + 1])
         meta_cols = cols[n_payload + 1 :]
         n = 0
         for blob, file_seq, gtid, event_seq in packet_iter:
-            n += session.process_packet_typed(
+            n += session.process_packet_typed_vec(
                 blob, file_seq, gtid, event_seq,
-                apps, meta_cols, kinds_t, keys_t, n_payload,
+                apps, meta_cols, kinds_t, keys_t, n_payload, vec,
             )
             if n >= out_batch_rows:
                 yield to_batch(cols)
@@ -251,8 +266,17 @@ def make_typed_decoder(
                 apps = tuple(c.append for c in cols[: n_payload + 1])
                 meta_cols = cols[n_payload + 1 :]
                 n = 0
+            if vec.rows_hint >= 1 << 19:
+                # bound deferred-buffer memory (and keep string columns far
+                # below the int32 Arrow offset limit) on huge inputs
+                for rb in vec.flush():
+                    session.rows_emitted += rb.num_rows
+                    yield rb
         if n:
             yield to_batch(cols)
+        for rb in vec.flush():
+            session.rows_emitted += rb.num_rows
+            yield rb
 
     return decode_stream, arrow_schema
 
@@ -380,6 +404,7 @@ def decode_segment_files(
 
     def decode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..binlog.decoder import BinlogSession, EnvelopeBatch
+        from ..binlog.rowvec import EnvVecCollector
 
         for batch in batches:
             for pblob in batch.column("paths").to_pylist():
@@ -387,6 +412,7 @@ def decode_segment_files(
                     session = BinlogSession(
                         table_filter=table_filter, stop_position=stop_position
                     )
+                    vec = EnvVecCollector(_ARROW_ENVELOPE)
                     tbl = pq.read_table(
                         path,
                         columns=["file_seq", "offset", "gtid", "event_seq", "event_blob"],
@@ -398,14 +424,21 @@ def decode_segment_files(
                     blobs = _blob_views(tbl.column("event_blob"))
                     out = EnvelopeBatch()
                     for i in range(tbl.num_rows):
-                        session.process_packet_columnar(
-                            blobs[i], file_seqs[i], gtids[i], event_seqs[i], out
+                        session.process_packet_columnar_vec(
+                            blobs[i], file_seqs[i], gtids[i], event_seqs[i], out, vec
                         )
                         if len(out) >= out_batch_rows:
                             yield _env_to_batch(out)
                             out = EnvelopeBatch()
+                        if vec.rows_hint >= 1 << 19:
+                            for rb in vec.flush():
+                                session.rows_emitted += rb.num_rows
+                                yield rb
                     if len(out):
                         yield _env_to_batch(out)
+                    for rb in vec.flush():
+                        session.rows_emitted += rb.num_rows
+                        yield rb
 
     return bins_df.mapInArrow(decode_files, schema=ENVELOPE_SCHEMA)
 
