@@ -24,6 +24,16 @@ Semantics mapping (identical to BucketedLakeTable, SURVEY.md §2 J2/T5/A2):
                      or, conservatively, applied before the data commit and
                      checked idempotently like the local applier)
   lineage/metrics  → Iceberg snapshot summary properties + a metrics table
+
+Test coverage without the jar: tests/test_applier_contract.py runs every
+merge-semantics scenario (LWW, idempotent + partial redelivery, the
+delete-resurrection watermark gate, pk-change tombstones, out-of-order
+guard, evolution) through THIS class against a fake engine implementing
+only the emitted SQL shapes, parameterized alongside the local
+BucketedLakeTable pipeline — both must produce identical state.  Risks
+only a real Iceberg runtime can exercise: MERGE cardinality enforcement
+(duplicate source keys — prevented here by the max_by pre-reduce),
+concurrent-commit conflict resolution/retries, and catalog interactions.
 """
 
 from __future__ import annotations
@@ -74,10 +84,17 @@ class IcebergApplier:
             f"CREATE TABLE IF NOT EXISTS {self.table} ({cols_sql}) USING iceberg{part}"
         )
 
+    #: batch-transport columns that must never evolve INTO the table —
+    #: the merge consumes them (_deleted → DELETE clause, _file_seq/_log_pos
+    #: → the watermark side table); only the order columns are stored
+    _TRANSPORT_COLS = frozenset({"_deleted", "_file_seq", "_log_pos"})
+
     def evolve(self, typed: DataFrame):
         """TABLE_MAP-driven evolution → ALTER TABLE (add / widen)."""
         existing = {f.name: f.dataType.simpleString() for f in self.spark.table(self.table).schema.fields}
         for f in typed.schema.fields:
+            if f.name in self._TRANSPORT_COLS:
+                continue
             t = f.dataType.simpleString()
             if f.name not in existing:
                 self.spark.sql(

@@ -23,9 +23,57 @@ from capture_daemon import (  # noqa: E402
     CLIENT_PLUGIN_AUTH,
     CLIENT_PROTOCOL_41,
     CLIENT_SECURE_CONNECTION,
+    CLIENT_SSL,
     scramble_caching_sha2,
     scramble_native,
 )
+
+
+def make_self_signed_cert(tmpdir: str) -> tuple[str, str, bytes]:
+    """Self-signed localhost cert for the TLS upgrade tests: returns
+    (cert_path, key_path, cert_pem).  The SAN carries IP 127.0.0.1 so the
+    client can do REAL hostname verification against it."""
+    import datetime
+    import ipaddress
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "mock-mysql")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(days=1))
+        .add_extension(
+            x509.SubjectAlternativeName(
+                [x509.IPAddress(ipaddress.ip_address("127.0.0.1"))]
+            ),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    cert_pem = cert.public_bytes(serialization.Encoding.PEM)
+    cert_path = os.path.join(tmpdir, "mock-mysql.crt")
+    key_path = os.path.join(tmpdir, "mock-mysql.key")
+    with open(cert_path, "wb") as f:
+        f.write(cert_pem)
+    with open(key_path, "wb") as f:
+        f.write(
+            key.private_bytes(
+                serialization.Encoding.PEM,
+                serialization.PrivateFormat.TraditionalOpenSSL,
+                serialization.NoEncryption(),
+            )
+        )
+    return cert_path, key_path, cert_pem
 
 _CAPS = (
     CLIENT_LONG_PASSWORD
@@ -66,11 +114,14 @@ class MockMySQLServer:
         auth_mode: str = "plain",  # "plain" | "switch"
         event_payloads: list[bytes] | None = None,
         nonce: bytes | None = None,
+        ssl_ctx=None,  # server-side SSLContext: accept the TLS upgrade
     ):
         self.password = password.encode()
         self.user = user
         self.plugin = plugin
         self.auth_mode = auth_mode
+        self.ssl_ctx = ssl_ctx
+        self.tls_established = False
         self.event_payloads = event_payloads or []
         # nonce must have no trailing NULs (servers use printable bytes)
         self.nonce = nonce or bytes(range(1, 21))
@@ -134,6 +185,15 @@ class MockMySQLServer:
         send_packet(conn, self._greeting(), 0)
         seq, resp = read_packet(conn)
         caps, _maxp, _cs = struct.unpack_from("<IIB", resp)
+        if caps & CLIENT_SSL:
+            # SSLRequest (32-byte prelude, no username): upgrade NOW; the
+            # real HandshakeResponse41 arrives over the encrypted channel
+            assert len(resp) == 32, f"SSLRequest must be 32 bytes, got {len(resp)}"
+            assert self.ssl_ctx is not None, "client asked for TLS, server has no ctx"
+            conn = self.ssl_ctx.wrap_socket(conn, server_side=True)
+            self.tls_established = True
+            seq, resp = read_packet(conn)
+            caps, _maxp, _cs = struct.unpack_from("<IIB", resp)
         assert caps & CLIENT_PROTOCOL_41, "client must set CLIENT_PROTOCOL_41"
         pos = 4 + 4 + 1 + 23
         end = resp.index(0, pos)
@@ -158,6 +218,19 @@ class MockMySQLServer:
             assert auth == self._expected("mysql_native_password", nonce2), (
                 "bad switched scramble"
             )
+            send_packet(conn, OK_PACKET, seq + 1)
+        elif plugin == "caching_sha2_password" and self.auth_mode == "full":
+            # cache miss: full auth.  Over TLS the protocol is the literal
+            # cleartext password + NUL (what a real server accepts when the
+            # channel is already encrypted)
+            assert auth == self._expected(plugin, self.nonce), "bad sha2 scramble"
+            assert self.tls_established, "full-auth test requires the TLS upgrade"
+            send_packet(conn, b"\x01\x04", seq + 1)  # full-auth needed
+            try:
+                seq, cleartext = read_packet(conn)
+            except ConnectionError:
+                return  # client refused full auth (e.g. non-TLS) and hung up
+            assert cleartext == self.password + b"\x00", "bad cleartext password"
             send_packet(conn, OK_PACKET, seq + 1)
         elif plugin == "caching_sha2_password":
             assert auth == self._expected(plugin, self.nonce), "bad sha2 scramble"

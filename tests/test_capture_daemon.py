@@ -223,6 +223,75 @@ class TestCaptureEndToEnd:
         assert seqs == list(range(1, len(after) + 1))
 
 
+class TestTls:
+    """The --ssl leg: SSLRequest upgrade, handshake over the encrypted
+    channel, and caching_sha2 full-auth (cleartext over TLS) — reference
+    parity: src/mysql/conn.zig:44-408 +
+    patches/zig-tls-certificate-request.patch."""
+
+    @staticmethod
+    def _ctxs(tmp_path):
+        import ssl
+
+        pytest.importorskip("cryptography")
+        from mock_mysql_server import make_self_signed_cert
+
+        cert, key, cert_pem = make_self_signed_cert(str(tmp_path))
+        srv_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        srv_ctx.load_cert_chain(cert, key)
+        # the client VERIFIES: our cert is its trust root, SAN=127.0.0.1
+        cli_ctx = ssl.create_default_context(cadata=cert_pem.decode())
+        return srv_ctx, cli_ctx
+
+    def test_tls_upgrade_native_auth_and_capture(self, tmp_path):
+        srv_ctx, cli_ctx = self._ctxs(tmp_path)
+        stream = encode_stream(generate_ops(seed=61, n_convs=10), n_segments=2, seed=61)
+        out_dir = str(tmp_path / "segs")
+        with MockMySQLServer(
+            password="pw", ssl_ctx=srv_ctx, event_payloads=_event_payloads(stream)
+        ) as srv:
+            c = MySQLBinlogClient(
+                "127.0.0.1", srv.port, "repl", "pw",
+                use_ssl=True, ssl_context=cli_ctx,
+            )
+            try:
+                paths = capture_live(c, out_dir)
+            finally:
+                c.close()
+        assert srv.tls_established
+        assert len(paths) == 2
+        assert srv.queries == ["SET @master_binlog_checksum = 'CRC32'"]
+
+    def test_caching_sha2_full_auth_over_tls(self, tmp_path):
+        srv_ctx, cli_ctx = self._ctxs(tmp_path)
+        with MockMySQLServer(
+            password="s3cret", plugin="caching_sha2_password", auth_mode="full",
+            ssl_ctx=srv_ctx,
+        ) as srv:
+            c = MySQLBinlogClient(
+                "127.0.0.1", srv.port, "repl", "s3cret",
+                use_ssl=True, ssl_context=cli_ctx,
+            )
+            c.connect()
+            assert list(c.dump()) == []
+            c.close()
+        assert srv.tls_established
+
+    def test_caching_sha2_full_auth_without_tls_raises(self, tmp_path):
+        # plaintext full-auth needs RSA-OAEP we don't ship — the client
+        # must fail with the documented clear message, not hang or leak
+        with MockMySQLServer(
+            password="pw", plugin="caching_sha2_password", auth_mode="full",
+            ssl_ctx=None,
+        ) as srv:
+            # make the mock skip its TLS assertion: patch established flag
+            srv.tls_established = True
+            c = MySQLBinlogClient("127.0.0.1", srv.port, "repl", "pw")
+            with pytest.raises(CaptureError, match="requires TLS"):
+                c.connect()
+            c.close()
+
+
 class TestGtidResume:
     def test_dump_gtid_ships_executed_set(self):
         from myzql_binlog_connector_spark.binlog.gtid_set import GtidSet
