@@ -156,6 +156,144 @@ def bench_decode_shuffle(spark, sf_tag: str) -> dict:
     return {"sec": round(wall, 3), "rows": n, "rows_per_sec": round(n / wall, 1)}
 
 
+def ensure_multitable_fixture(n_rows_per_table: int = 200_000) -> str:
+    """3-table interleaved binlog segment store (cached): transcripts +
+    app.users + shop.orders round-robin per statement group — the worst
+    case for a fan-out applier that re-decoded per table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from myzql_binlog_connector_spark.binlog.constants import ColumnType
+    from myzql_binlog_connector_spark.binlog.encoder import (
+        ColumnSpec,
+        EventWriter,
+        TableSchema,
+        TRANSCRIPTS_SCHEMA,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bench_cache/multitable-{n_rows_per_table}-v1",
+    )
+    if os.path.exists(os.path.join(root, "_done")):
+        return root
+    users = TableSchema(
+        "app", "users",
+        (ColumnSpec(ColumnType.LONGLONG, 0, False), ColumnSpec(ColumnType.VARCHAR, 64)),
+        ("user_id", "name"),
+    )
+    orders = TableSchema(
+        "shop", "orders",
+        (ColumnSpec(ColumnType.LONGLONG, 0, False), ColumnSpec(ColumnType.LONG, 0),
+         ColumnSpec(ColumnType.VARCHAR, 128), ColumnSpec(ColumnType.TIMESTAMP2, 6)),
+        ("order_id", "qty", "sku", "created"),
+    )
+    ts0 = 1_700_000_000_000_000
+    os.makedirs(root, exist_ok=True)
+    n_segments, per_event = 8, 100
+    per_seg = n_rows_per_table // n_segments
+    gtid = 0
+    for fs in range(1, n_segments + 1):
+        w = EventWriter(server_id=1)
+        w.format_description()
+        w.table_map(5, TRANSCRIPTS_SCHEMA)
+        w.table_map(6, users)
+        w.table_map(7, orders)
+        base = (fs - 1) * per_seg
+        for i in range(0, per_seg, per_event):
+            ids = range(base + i, base + min(i + per_event, per_seg))
+            w.write_rows(5, TRANSCRIPTS_SCHEMA, [
+                (f"conv-{j % 5000}", j, "user", f"turn text {j} " * 3, None, ts0 + j)
+                for j in ids
+            ])
+            w.write_rows(6, users, [(j, f"user-{j}") for j in ids])
+            w.write_rows(7, orders, [
+                (j, j % 7, f"sku-{j % 997}", ts0 + j * 2) for j in ids
+            ])
+        rows = []
+        for _off, pkt in w.events:
+            gtid += 1
+            rows.append((fs, _off, gtid, gtid, pkt))
+        t = pa.table({
+            "file_seq": pa.array([r[0] for r in rows], pa.int32()),
+            "offset": pa.array([r[1] for r in rows], pa.int64()),
+            "gtid": pa.array([r[2] for r in rows], pa.int64()),
+            "event_seq": pa.array([r[3] for r in rows], pa.int64()),
+            "event_blob": pa.array([r[4] for r in rows], pa.binary()),
+        })
+        pq.write_table(t, os.path.join(root, f"segment-{fs:06d}.parquet"))
+    with open(os.path.join(root, "_done"), "w") as f:
+        f.write("ok")
+    return root
+
+
+def bench_multitable(spark) -> dict:
+    """Pin the O(batch) fan-out property: a 3-table interleaved stream must
+    apply in ~the same wall time per row as a single-table stream — the
+    envelope decodes ONCE and routing is a cheap filter, so the ratio
+    (multi rows/s ÷ single rows/s) should sit near 1.0, not 1/3."""
+    from myzql_binlog_connector_spark.functions.decode import decode_changes
+    from myzql_binlog_connector_spark.plans.apply import (
+        MultiTableApplier,
+        TranscriptsApplier,
+    )
+    from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+    seg_dir = ensure_multitable_fixture()
+    specs = {
+        ("chat", "transcripts"): {
+            "column_names": ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+            "key_positions": (0, 1), "n_buckets": 8,
+        },
+        ("app", "users"): {
+            "column_names": ["user_id", "name"], "key_positions": (0,), "n_buckets": 8,
+        },
+        ("shop", "orders"): {
+            "column_names": ["order_id", "qty", "sku", "created"],
+            "key_positions": (0,), "n_buckets": 8,
+        },
+    }
+    events = spark.read.parquet(seg_dir)
+    n_rows = 3 * 200_000
+
+    def run_multi():
+        root = tempfile.mkdtemp(prefix="bench_mt_")
+        try:
+            mt = MultiTableApplier(spark, root, table_specs=specs)
+            mt.apply_batch(decode_changes(events), batch_id=0)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    def run_single():
+        root = tempfile.mkdtemp(prefix="bench_st_")
+        try:
+            table = BucketedLakeTable(spark, root, ["conv_id", "turn_idx"], n_buckets=8)
+            TranscriptsApplier(spark, table, salt=None).apply_batch(
+                decode_changes(events).filter("table_name = 'transcripts'"),
+                batch_id=0,
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    run_multi()  # warm (worker spin-up, codegen)
+    t0 = time.monotonic()
+    run_multi()
+    multi_sec = time.monotonic() - t0
+    run_single()  # warm
+    t0 = time.monotonic()
+    run_single()
+    single_sec = time.monotonic() - t0
+    single_rows = n_rows // 3
+    return {
+        "multi_sec": round(multi_sec, 3),
+        "multi_rows_per_sec": round(n_rows / multi_sec, 1),
+        "single_sec": round(single_sec, 3),
+        "single_rows_per_sec": round(single_rows / single_sec, 1),
+        # ≥ ~0.7 ⇒ O(batch); an O(tables×batch) applier would sit near 1/3
+        "fanout_efficiency": round((n_rows / multi_sec) / (single_rows / single_sec), 3),
+    }
+
+
 HEADLINE = [
     "lww_dedup_events",
     "lww_dedup_salted_events",
@@ -199,6 +337,8 @@ def main():
     queries["cdc_decode_only"] = dec["sec"]
     dec_sh = bench_decode_shuffle(spark, sf_tag)
     queries["cdc_decode_shuffle"] = dec_sh["sec"]
+    mt = bench_multitable(spark)
+    queries["cdc_multitable_fanout"] = mt["multi_sec"]
 
     from myzql_binlog_connector_spark.operators.fuzzy import release_cached
 
@@ -228,6 +368,7 @@ def main():
         "cdc_replay": cdc,
         "cdc_decode": dec,
         "cdc_decode_shuffle": dec_sh,
+        "cdc_multitable": mt,
     }
     print(json.dumps(out))
     spark.stop()
