@@ -187,6 +187,51 @@ def q_cdc_change_feed(spark, sf_dir):
     )
 
 
+def q_cdc_multitable_state(spark, sf_dir):
+    """Multi-table fan-out: ONE interleaved change stream (three tables'
+    statement groups round-robin — the TABLE_MAP cache switches per event)
+    decodes once and lands in three per-(db, table) lake tables with their
+    own schemas, keys, and watermarks (MultiTableApplier).  Result = the
+    union of the three final states, normalized to (src, id, val)."""
+    import tempfile
+
+    from myzql_binlog_connector_spark.plans.apply import MultiTableApplier
+
+    env = decode_changes(harness.multitable_cdc_events(spark, sf_dir))
+    mt = MultiTableApplier(
+        spark,
+        tempfile.mkdtemp(prefix="mt_state_"),
+        table_specs={
+            ("corpus", "docs2"): {
+                "column_names": ["doc_id", "text"], "key_positions": (0,), "n_buckets": 4,
+            },
+            ("app", "activity"): {
+                "column_names": ["event_id", "event_type"], "key_positions": (0,), "n_buckets": 4,
+            },
+            ("crm", "customer"): {
+                "column_names": ["c_custkey", "c_name"], "key_positions": (0,), "n_buckets": 4,
+            },
+        },
+    )
+    mt.apply_batch(env, batch_id=0)
+    d = mt.table_for("corpus", "docs2").read().select(
+        F.lit("docs").alias("src"),
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("text").alias("val"),
+    )
+    a = mt.table_for("app", "activity").read().select(
+        F.lit("activity").alias("src"),
+        F.col("event_id").cast("long").alias("id"),
+        F.col("event_type").alias("val"),
+    )
+    c = mt.table_for("crm", "customer").read().select(
+        F.lit("crm").alias("src"),
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_name").alias("val"),
+    )
+    return d.unionByName(a).unionByName(c)
+
+
 def q_cdc_time_travel(spark, sf_dir):
     """Snapshot time travel (Iceberg VERSION AS OF analogue): apply the
     events op stream as TWO commits (all INSERTs, then the UPDATE/DELETE
@@ -817,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_partial_update": q_cdc_partial_update,
         "cdc_streaming_restart": q_cdc_streaming_restart,
         "cdc_change_feed": q_cdc_change_feed,
+        "cdc_multitable_state": q_cdc_multitable_state,
         "lww_dedup_events": q_lww_dedup_events,
         "lww_dedup_salted_events": q_lww_dedup_salted_events,
         "event_type_filter": q_event_type_filter,
@@ -963,6 +1009,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE value END AS value,
                    (event_type = 'click') AS _deleted
             FROM events
+        """,
+        "cdc_multitable_state": """
+            SELECT 'docs' AS src, CAST(doc_id AS BIGINT) AS id,
+                   CASE WHEN doc_id % 5 = 0 THEN 'v2: ' || text ELSE text END AS val
+            FROM documents
+            UNION ALL
+            SELECT 'activity', CAST(event_id AS BIGINT), event_type
+            FROM events WHERE event_type <> 'click'
+            UNION ALL
+            SELECT 'crm', CAST(c_custkey AS BIGINT),
+                   CASE WHEN c_custkey % 3 = 0 THEN c_name || ' *' ELSE c_name END
+            FROM customer
         """,
         "cdc_partial_update": """
             SELECT event_id,

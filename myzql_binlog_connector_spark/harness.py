@@ -149,6 +149,76 @@ def events_cdc_stream(spark: SparkSession, sf_dir: str, n_segments: int = 3) -> 
     return _events_df_from_writer(spark, events_stream_writers(sf_dir, n_segments))
 
 
+MT_DOCS_SCHEMA = TableSchema(
+    "corpus", "docs2",
+    (ColumnSpec(ColumnType.LONGLONG, 0, False), ColumnSpec(ColumnType.VARCHAR, 16384)),
+    ("doc_id", "text"),
+)
+MT_ACT_SCHEMA = TableSchema(
+    "app", "activity",
+    (ColumnSpec(ColumnType.LONGLONG, 0, False), ColumnSpec(ColumnType.VARCHAR, 32)),
+    ("event_id", "event_type"),
+)
+MT_CRM_SCHEMA = TableSchema(
+    "crm", "customer",
+    (ColumnSpec(ColumnType.LONGLONG, 0, False), ColumnSpec(ColumnType.VARCHAR, 64)),
+    ("c_custkey", "c_name"),
+)
+
+
+def multitable_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved 3-table change stream (pure function of the documents /
+    events / customer tables): statement groups round-robin between the
+    tables — the TABLE_MAP cache switches constantly, the worst case for a
+    single-table-minded reader.  Ops: INSERT everything; then per table
+    one mutation wave — docs: UPDATE text='v2: '+text where doc_id%5=0;
+    activity: DELETE clicks; customer: UPDATE name=name+' *' where
+    custkey%3=0."""
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).to_pylist()
+    acts = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]).to_pylist()
+    crm = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]).to_pylist()
+
+    w1 = EventWriter(server_id=1)
+    w1.format_description()
+    w1.table_map(7, MT_DOCS_SCHEMA)
+    w1.table_map(8, MT_ACT_SCHEMA)
+    w1.table_map(9, MT_CRM_SCHEMA)
+    n = max(len(docs), len(acts), len(crm))
+    for i in range(0, n, 80):  # round-robin statement groups
+        if i < len(docs):
+            w1.write_rows(7, MT_DOCS_SCHEMA,
+                          [(r["doc_id"], r["text"]) for r in docs[i:i + 80]])
+        if i < len(acts):
+            w1.write_rows(8, MT_ACT_SCHEMA,
+                          [(r["event_id"], r["event_type"]) for r in acts[i:i + 80]])
+        if i < len(crm):
+            w1.write_rows(9, MT_CRM_SCHEMA,
+                          [(r["c_custkey"], r["c_name"]) for r in crm[i:i + 80]])
+    w1.rotate("binlog.000002")
+
+    w2 = EventWriter(server_id=1)
+    w2.format_description()
+    w2.table_map(7, MT_DOCS_SCHEMA)
+    w2.table_map(8, MT_ACT_SCHEMA)
+    w2.table_map(9, MT_CRM_SCHEMA)
+    doc_up = [((r["doc_id"], r["text"]), (r["doc_id"], "v2: " + r["text"]))
+              for r in docs if r["doc_id"] % 5 == 0]
+    act_del = [(r["event_id"], r["event_type"]) for r in acts
+               if r["event_type"] == "click"]
+    crm_up = [((r["c_custkey"], r["c_name"]), (r["c_custkey"], r["c_name"] + " *"))
+              for r in crm if r["c_custkey"] % 3 == 0]
+    m = max(len(doc_up), len(act_del), len(crm_up))
+    for i in range(0, m, 80):
+        if i < len(doc_up):
+            w2.update_rows(7, MT_DOCS_SCHEMA, doc_up[i:i + 80])
+        if i < len(act_del):
+            w2.delete_rows(8, MT_ACT_SCHEMA, act_del[i:i + 80])
+        if i < len(crm_up):
+            w2.update_rows(9, MT_CRM_SCHEMA, crm_up[i:i + 80])
+    w2.rotate("binlog.000003")
+    return _events_df_from_writer(spark, [w1, w2])
+
+
 def write_writers_parquet(
     writers: list[EventWriter],
     out_dir: str,
