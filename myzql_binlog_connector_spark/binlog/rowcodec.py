@@ -224,6 +224,9 @@ def get_env_parser(schema, desc_key: str, present1, present2, dml: str):
         p = present2 if dml == DML_UPDATE else present1
         _emit_image(L, ind, schema, p, env)
         L.append(f"{ind}a_app(J({_env_literal(n_cols, p)}))")
+    # truncated/corrupt bodies must not decode silently as garbage (Python
+    # slices clamp): a row that read past the body is a structural error
+    L.append(f"{ind}if pos > end: raise ValueError('row image overran event body')")
     L.append(f"{ind}k += 1")
     L.append("    return k")
     fn = _compile("\n".join(L), env, "P")
@@ -325,6 +328,9 @@ def get_typed_parser(
         _typed_emit(L, ind, schema, present2, kinds, n_payload, lambda i: f"v{i}")
         L.append(f"{ind}d_app(False)")
         L.append(f"{ind}k += 1")
+    # same structural check as the env parser: clamped slices must not
+    # turn a truncated body into silent garbage rows
+    L.append(f"{ind}if pos > end: raise ValueError('row image overran event body')")
     L.append("    return k")
     fn = _compile("\n".join(L), env, "P")
     _CACHE[key] = fn

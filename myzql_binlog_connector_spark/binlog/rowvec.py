@@ -313,6 +313,14 @@ def walk_group(plan: VecPlan, big, pos0, end):
         else:
             pos = _walk_image(big, pos, plan.ops1, before)
             pos = _walk_image(big, pos, plan.ops2, after)
+        if bool((pos > end).any()):
+            # a row image read past its event body: truncated/corrupt
+            # event (a healthy server never emits one).  Raise for the
+            # whole group — the collector's quarantine path retries
+            # events singly so only the corrupt ones are dropped.
+            raise ValueError(
+                "row image overran event body (truncated or corrupt event)"
+            )
         r += 1
     if not ev_chunks:
         return None
@@ -1000,22 +1008,48 @@ class EnvVecCollector:
         g[7].append(server_id)
         self.rows_hint += max(1, (len(payload) - rel_pos) // 96)
 
-    def flush(self):
+    def _decode_group(self, g):
+        bufs, rel, gt, es, fs, lp, ts, sid, consts, plan = g
+        big, pos0, end = _concat_group(bufs, rel)
+        walk = walk_group(plan, big, pos0, end)
+        if walk is None:
+            return None
+        metas = {
+            "gtid": np.asarray(gt, np.int64),
+            "event_seq": np.asarray(es, np.int64),
+            "file_seq": np.asarray(fs, np.int64),
+            "log_pos": np.asarray(lp, np.int64),
+            "timestamp": np.asarray(ts, np.int64),
+            "server_id": np.asarray(sid, np.int64),
+        }
+        return assemble_envelope(plan, big, walk, metas, consts, self.arrow_schema)
+
+    def flush(self, on_error: str = "raise", quarantine=None):
+        """Decode and yield every group.  ``on_error="quarantine"``: a
+        failing group retries its events ONE AT A TIME through the same
+        kernel so one corrupt body poisons only itself; events that still
+        fail go to ``quarantine(fs, gtid, event_seq, log_pos, payload,
+        err)`` instead of raising."""
         groups, self._groups = self._groups, {}
         self.rows_hint = 0
-        for bufs, rel, gt, es, fs, lp, ts, sid, consts, plan in groups.values():
-            big, pos0, end = _concat_group(bufs, rel)
-            walk = walk_group(plan, big, pos0, end)
-            if walk is None:
+        for g in groups.values():
+            try:
+                rb = self._decode_group(g)
+            except Exception:
+                if on_error != "quarantine":
+                    raise
+                bufs, rel, gt, es, fs, lp, ts, sid, consts, plan = g
+                for i in range(len(bufs)):
+                    sub = ([bufs[i]], [rel[i]], [gt[i]], [es[i]], [fs[i]],
+                           [lp[i]], [ts[i]], [sid[i]], consts, plan)
+                    try:
+                        rb1 = self._decode_group(sub)
+                    except Exception as e:
+                        if quarantine is not None:
+                            quarantine(fs[i], gt[i], es[i], lp[i], bufs[i], e)
+                        continue
+                    if rb1 is not None:
+                        yield rb1
                 continue
-            metas = {
-                "gtid": np.asarray(gt, np.int64),
-                "event_seq": np.asarray(es, np.int64),
-                "file_seq": np.asarray(fs, np.int64),
-                "log_pos": np.asarray(lp, np.int64),
-                "timestamp": np.asarray(ts, np.int64),
-                "server_id": np.asarray(sid, np.int64),
-            }
-            yield assemble_envelope(
-                plan, big, walk, metas, consts, self.arrow_schema
-            )
+            if rb is not None:
+                yield rb

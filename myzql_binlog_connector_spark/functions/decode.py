@@ -82,6 +82,39 @@ def _env_to_batch(out) -> pa.RecordBatch:
     )
 
 
+#: dml_type marker for quarantined (dead-letter) packets — see
+#: :func:`decode_changes` ``on_error="quarantine"``
+DML_CORRUPT = "_corrupt"
+
+
+def _quarantine_env_row(out, blob, file_seq, gtid, event_seq, err) -> None:
+    """Append a dead-letter envelope row for an undecodable packet: the
+    error, the event-type byte, and a hex prefix of the raw bytes ride in
+    ``after_values`` so a DLQ consumer can triage without re-reading the
+    source."""
+    from ..binlog.decoder import _dumps
+
+    mv = memoryview(blob)
+    out.timestamp.append(0)
+    out.server_id.append(0)
+    out.log_pos.append(0)
+    out.event_row_index.append(1)
+    out.database.append(None)
+    out.table_name.append(None)
+    out.dml_type.append(DML_CORRUPT)
+    out.before_values.append(None)
+    out.after_values.append(_dumps({
+        "error": f"{type(err).__name__}: {err}"[:500],
+        "event_type": mv[5] if len(mv) > 5 else None,
+        "blob_prefix": bytes(mv[:64]).hex(),
+        "blob_len": len(mv),
+    }))
+    out.gtid.append(gtid)
+    out.event_seq.append(event_seq)
+    out.file_seq.append(file_seq)
+    out.payload_schema.append(None)
+
+
 def _blob_views(arr) -> list:
     """Zero-copy memoryviews over a (Large)Binary Arrow array's data buffer.
 
@@ -115,13 +148,18 @@ def _blob_views(arr) -> list:
 
 
 def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 8192,
-                 verify_crc: bool = False):
+                 verify_crc: bool = False, on_error: str = "raise"):
     """Build the mapInArrow function.  One BinlogSession per partition: the
     table-map cache persists across Arrow batches within the partition,
     matching the reference reader whose cache lives for the connection.
     Decode is columnar end to end: the code-generated per-schema parsers
     (binlog/rowcodec.py) append straight into per-column lists — no per-row
-    dicts anywhere on the path."""
+    dicts anywhere on the path.
+
+    ``on_error="quarantine"``: an undecodable packet (CRC mismatch, parse
+    error, truncated body) becomes a dead-letter row with
+    ``dml_type='_corrupt'`` instead of failing the job; decode continues.
+    Default ``"raise"`` keeps reference-parity fail-fast semantics."""
     from ..binlog.decoder import EnvelopeBatch
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -132,27 +170,38 @@ def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 81
         )
         vec = EnvVecCollector(_ARROW_ENVELOPE)
         out = EnvelopeBatch()
+
+        def q_cb(fs, g, es, lp, payload, err):
+            _quarantine_env_row(out, payload, fs, g, es, err)
+
         for batch in batches:
             file_seqs = batch.column("file_seq").to_pylist()
             gtids = batch.column("gtid").to_pylist()
             event_seqs = batch.column("event_seq").to_pylist()
             blobs = _blob_views(batch.column("event_blob"))
             for i in range(batch.num_rows):
-                session.process_packet_columnar_vec(
-                    blobs[i], file_seqs[i], gtids[i], event_seqs[i], out, vec
-                )
+                try:
+                    session.process_packet_columnar_vec(
+                        blobs[i], file_seqs[i], gtids[i], event_seqs[i], out, vec
+                    )
+                except Exception as e:
+                    if on_error != "quarantine":
+                        raise
+                    _quarantine_env_row(
+                        out, blobs[i], file_seqs[i], gtids[i], event_seqs[i], e
+                    )
                 if len(out) >= out_batch_rows:
                     yield _env_to_batch(out)
                     out = EnvelopeBatch()
             if vec.rows_hint >= 1 << 19:
-                for rb in vec.flush():
+                for rb in vec.flush(on_error=on_error, quarantine=q_cb):
                     session.rows_emitted += rb.num_rows
                     yield rb
-        if len(out):
-            yield _env_to_batch(out)
-        for rb in vec.flush():
+        for rb in vec.flush(on_error=on_error, quarantine=q_cb):
             session.rows_emitted += rb.num_rows
             yield rb
+        if len(out):
+            yield _env_to_batch(out)
 
     return decode_partition
 
@@ -516,6 +565,7 @@ def decode_changes(
     stop_position: tuple[int, int] | None = None,
     already_partitioned: bool = False,
     verify_crc: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode a DataFrame of raw framed packets into the change envelope.
 
@@ -528,6 +578,11 @@ def decode_changes(
     ``already_partitioned``: skip the repartition+sort when the caller
     guarantees segment-aligned, offset-ordered partitions (e.g. one source
     file per segment read with a file-per-partition layout).
+
+    ``on_error="quarantine"``: undecodable packets become dead-letter rows
+    (``dml_type='_corrupt'``, error + hex prefix in ``after_values``)
+    instead of failing the job — route them with
+    ``df.filter("dml_type = '_corrupt'")``; appliers exclude them.
     """
     df = events_df
     if not already_partitioned:
@@ -543,6 +598,7 @@ def decode_changes(
             table_filter=table_filter,
             stop_position=stop_position,
             verify_crc=verify_crc,
+            on_error=on_error,
         ),
         schema=ENVELOPE_SCHEMA,
     )

@@ -147,7 +147,13 @@ class TranscriptsApplier:
         tiny distinct set of schema descriptors (bounded by the number of
         TABLE_MAP variants in the batch, not by row count).  Pass ``descs``
         (e.g. from ``scan_schemas`` over the raw events) to avoid a full
-        decode pass for the descriptor scan."""
+        decode pass for the descriptor scan.
+
+        Dead-letter rows (``dml_type='_corrupt'``, produced by decode's
+        quarantine mode) are excluded here — they carry no payload and
+        must never merge; route them separately with
+        ``envelope.filter("dml_type = '_corrupt'")``."""
+        envelope = envelope.filter(F.col("dml_type") != "_corrupt")
         if descs is None:
             descs = [
                 r[0]

@@ -1,0 +1,116 @@
+"""Dead-letter quarantine: decode with ``on_error="quarantine"`` turns
+undecodable packets into ``dml_type='_corrupt'`` rows instead of failing
+the job — the CDC-production behavior for bit-rot in an archived binlog.
+Default semantics stay fail-fast (reference parity)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from myzql_binlog_connector_spark.binlog.encoder import EventWriter, TRANSCRIPTS_SCHEMA
+from myzql_binlog_connector_spark.functions.decode import decode_changes
+from myzql_binlog_connector_spark.harness import _events_df_from_writer
+from myzql_binlog_connector_spark.sources.segments import EVENTS_SCHEMA
+
+TS = 1_700_000_000_000_000
+
+
+def _rows(n, start=0):
+    return [
+        (f"conv-{i}", i, "user", f"text {i}", None, TS + i)
+        for i in range(start, start + n)
+    ]
+
+
+def _stream_df(spark, corrupt_idx=(), truncate_idx=()):
+    """Events DF where selected ROWS packets are corrupted (payload byte
+    flip keeping the stale CRC) or truncated mid-body."""
+    w = EventWriter(server_id=1)
+    w.format_description()
+    w.table_map(5, TRANSCRIPTS_SCHEMA)
+    for i in range(6):
+        w.write_rows(5, TRANSCRIPTS_SCHEMA, _rows(10, start=i * 10))
+    w.rotate("binlog.000002")
+    rows = []
+    rows_events_seen = 0
+    for event_seq, (offset, pkt) in enumerate(w.events, start=1):
+        blob = bytearray(pkt)
+        if blob[5] in (30, 31, 32):  # a ROWS event
+            if rows_events_seen in corrupt_idx:
+                blob[30] ^= 0xFF  # flip a body byte, keep the stale CRC
+            if rows_events_seen in truncate_idx:
+                blob = blob[: len(blob) // 2]
+            rows_events_seen += 1
+        rows.append((1, offset, event_seq, event_seq, blob[5], bytes(blob)))
+    return spark.createDataFrame(rows, EVENTS_SCHEMA)
+
+
+class TestQuarantine:
+    def test_truncated_body_quarantines_and_decode_continues(self, spark):
+        env = decode_changes(
+            _stream_df(spark, truncate_idx=(2,)), on_error="quarantine"
+        ).persist()
+        bad = env.filter("dml_type = '_corrupt'").collect()
+        good = env.filter("dml_type != '_corrupt'")
+        assert len(bad) == 1
+        info = json.loads(bad[0].after_values)
+        assert "error" in info and info["blob_prefix"]
+        # the other 5 ROWS events (50 rows) decoded normally
+        assert good.count() == 50
+        texts = {r[0] for r in good.select(
+            F.get_json_object("after_values", "$.c3")).collect()}
+        assert "text 0" in texts and "text 59" in texts
+        env.unpersist()
+
+    def test_crc_mismatch_quarantines_with_verify_crc(self, spark):
+        env = decode_changes(
+            _stream_df(spark, corrupt_idx=(1,)),
+            verify_crc=True,
+            on_error="quarantine",
+        ).persist()
+        bad = env.filter("dml_type = '_corrupt'").collect()
+        assert len(bad) == 1
+        assert "CRC32 mismatch" in json.loads(bad[0].after_values)["error"]
+        assert env.filter("dml_type != '_corrupt'").count() == 50
+        env.unpersist()
+
+    def test_default_raises(self, spark):
+        from py4j.protocol import Py4JJavaError
+
+        with pytest.raises(Exception):
+            decode_changes(
+                _stream_df(spark, corrupt_idx=(1,)), verify_crc=True
+            ).count()
+
+    def test_vec_group_isolation(self, spark):
+        """A corrupt body that only fails INSIDE the vectorized group
+        decode (valid header/prelude, garbage row bytes) must poison only
+        its own event — the group retries events singly."""
+        # truncating to just past the prelude leaves classification happy
+        # but the kernel's row walk runs out of buffer
+        env = decode_changes(
+            _stream_df(spark, truncate_idx=(0, 4)), on_error="quarantine"
+        ).persist()
+        assert env.filter("dml_type = '_corrupt'").count() == 2
+        assert env.filter("dml_type != '_corrupt'").count() == 40
+        env.unpersist()
+
+    def test_applier_excludes_corrupt_rows(self, spark, tmp_path):
+        from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        env = decode_changes(
+            _stream_df(spark, truncate_idx=(3,)), on_error="quarantine"
+        )
+        table = BucketedLakeTable(
+            spark, str(tmp_path / "lake"), ["conv_id", "turn_idx"], n_buckets=4
+        )
+        TranscriptsApplier(spark, table, salt=None).apply_batch(env, batch_id=0)
+        got = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
+        # 5 surviving events × 10 rows merged; the corrupt event's rows absent
+        assert len(got) == 50
+        assert ("conv-30", 30) not in got  # event 3 covered rows 30-39
