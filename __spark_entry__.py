@@ -187,6 +187,44 @@ def q_cdc_change_feed(spark, sf_dir):
     )
 
 
+def q_cdc_bootstrap_handoff(spark, sf_dir):
+    """Snapshot bootstrap + CDC handoff (Debezium initial-load analogue):
+    a pre-existing table snapshot (half the events keys with a ×10 value
+    marker, plus the same keys shifted +10M so they exist ONLY in the
+    snapshot) is bulk-merged at order-key zero, then the full CDC op
+    stream replays on top.  Snapshot-only keys survive untouched; every
+    key the stream touches ends at the stream's LWW state — the marker
+    must be gone."""
+    import tempfile
+
+    from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+    from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+    events_tbl = _read(spark, sf_dir, "events")
+    half = events_tbl.filter(F.col("event_id") % 2 == 0)
+    snap = half.select(
+        (F.col("event_id") + F.lit(10_000_000)).alias("event_id"),
+        "user_id", "event_type",
+        (F.col("value") * 10).alias("value"), "props",
+    ).unionByName(
+        half.select(
+            "event_id", "user_id", "event_type",
+            (F.col("value") * 10).alias("value"), "props",
+        )
+    )
+    table = BucketedLakeTable(
+        spark, tempfile.mkdtemp(prefix="cdc_boot_"), ["event_id"], n_buckets=8
+    )
+    applier = TranscriptsApplier(
+        spark, table,
+        column_names=["event_id", "user_id", "event_type", "value", "props"],
+        key_positions=(0,),
+    )
+    applier.bootstrap(snap, batch_id=0)
+    applier.apply_batch(decode_changes(harness.events_cdc_stream(spark, sf_dir)), batch_id=1)
+    return table.read().select("event_id", "event_type", "value")
+
+
 def q_cdc_multitable_state(spark, sf_dir):
     """Multi-table fan-out: ONE interleaved change stream (three tables'
     statement groups round-robin — the TABLE_MAP cache switches per event)
@@ -863,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_streaming_restart": q_cdc_streaming_restart,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_multitable_state": q_cdc_multitable_state,
+        "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
         "lww_dedup_events": q_lww_dedup_events,
         "lww_dedup_salted_events": q_lww_dedup_salted_events,
         "event_type_filter": q_event_type_filter,
@@ -1009,6 +1048,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE value END AS value,
                    (event_type = 'click') AS _deleted
             FROM events
+        """,
+        "cdc_bootstrap_handoff": """
+            SELECT CAST(event_id + 10000000 AS BIGINT) AS event_id,
+                   event_type, value * 10 AS value
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value
+            FROM events WHERE event_type <> 'click'
         """,
         "cdc_multitable_state": """
             SELECT 'docs' AS src, CAST(doc_id AS BIGINT) AS id,

@@ -290,6 +290,35 @@ class TranscriptsApplier:
                 typed = typed.withColumn(name, F.col(name).cast(field.dataType))
         return self._merge_typed(typed, batch_id)
 
+    def bootstrap(self, snapshot: DataFrame, batch_id: int | None = None) -> dict:
+        """Initial-load phase (the Debezium-snapshot analogue): merge a
+        consistent table snapshot — taken at a known binlog position —
+        before the CDC tail starts.
+
+        Snapshot rows enter the LWW merge with order keys ``(_gtid,
+        _event_seq, _event_row_index) = (0, 0, 0)``, strictly BELOW every
+        real binlog change, so any change replayed from the snapshot
+        position forward wins; rows untouched by the tail keep their
+        snapshot values.  ``_file_seq = 0`` keeps the snapshot's watermark
+        out of the binlog segments' redelivery gates.  The handoff is then
+        just the normal resumable replay over segments at/after the
+        snapshot position — no special dual-phase state machine (pinned by
+        tests/test_bootstrap.py: bootstrap(state@segment1) + replay of
+        segment 2 == full replay of both segments).
+
+        ``snapshot`` carries exactly the payload columns (key columns
+        included); types should already match the table's."""
+        typed = (
+            snapshot
+            .withColumn("_deleted", F.lit(False))
+            .withColumn("_gtid", F.lit(0).cast("bigint"))
+            .withColumn("_event_seq", F.lit(0).cast("bigint"))
+            .withColumn("_event_row_index", F.lit(0).cast("bigint"))
+            .withColumn("_file_seq", F.lit(0).cast("int"))
+            .withColumn("_log_pos", F.lit(0).cast("bigint"))
+        )
+        return self._merge_typed(typed, batch_id)
+
     def _merge_typed(self, typed: DataFrame, batch_id: int | None) -> dict:
         fresh = self._watermark_filter(typed)
         if self.salt:
