@@ -762,6 +762,18 @@ def q_windowed_event_counts(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: the corpus minus every document sharing
+    a 40-char shingle with the 'benchmark' set (docs with doc_id % 17 == 0
+    stand in for an eval suite).  The benchmark docs themselves and any
+    boilerplate-overlapping neighbors drop out."""
+    from myzql_binlog_connector_spark.operators.text import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    return decontaminate(docs, bench, k=40).select("doc_id", "n_chars")
+
+
 def q_dataset_split(spark, sf_dir):
     """Deterministic content-addressed train/val/test split — stable across
     runs/engines/partitionings (Spark randomSplit is neither)."""
@@ -935,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_progress": q_stateful_progress,
         "windowed_event_counts": q_windowed_event_counts,
         "dataset_split": q_dataset_split,
+        "decontaminate_docs": q_decontaminate,
         "corpus_stats": q_corpus_stats,
         "dedup_survivors": q_dedup_survivors,
         "multimodal_meta": q_multimodal_meta,
@@ -1276,6 +1289,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dataset_split": f"""
             SELECT doc_id, {sampling.split_sql('doc_id')} AS split FROM documents
+        """,
+        "decontaminate_docs": f"""
+            WITH {fuzzy.shingle_cte_sql("documents", "text", "doc_id", 40)},
+            bench_sh AS (
+              SELECT DISTINCT sh FROM shingled WHERE doc_id % 17 = 0
+            ),
+            hits AS (
+              SELECT DISTINCT s.doc_id FROM shingled s
+              JOIN bench_sh b ON s.sh = b.sh
+            )
+            SELECT d.doc_id, d.n_chars FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)
         """,
         "corpus_stats": f"""
             SELECT lang, source,

@@ -72,6 +72,41 @@ def shingle_rows(df, text_col: str, id_col: str, k: int = 5):
     )
 
 
+def decontaminate(
+    docs,
+    benchmark,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 40,
+    bench_text_col: str | None = None,
+    keep: str = "clean",
+):
+    """Benchmark decontamination: drop (or flag) training documents that
+    share any character ``k``-gram with an evaluation/benchmark corpus —
+    the standard leakage guard before pre-training (published as 8-13
+    WORD-gram overlap; ``k=40`` characters ≈ an 8-word window and reuses
+    the engine's shingle kernel).
+
+    Shape at 10^9 docs: one shingle pass over the corpus (explode +
+    substring, pure codegen), the benchmark's distinct shingles on the
+    other side of a LEFT SEMI equi-join — benchmark sets are eval-sized
+    (thousands of docs), so the join broadcasts and the corpus never
+    shuffles; a contaminated-id semi/anti join back onto the docs frame
+    finishes it.  ``keep="clean"`` returns the decontaminated corpus,
+    ``keep="contaminated"`` the flagged docs (for auditing)."""
+    bt = bench_text_col or text_col
+    doc_sh = shingle_rows(docs, text_col, id_col, k=k)
+    bench = benchmark.select(
+        F.monotonically_increasing_id().alias("__bid__"), F.col(bt)
+    )
+    bench_sh = shingle_rows(bench, bt, "__bid__", k=k).select("sh").distinct()
+    hit_ids = (
+        doc_sh.join(bench_sh, "sh", "left_semi").select(id_col).distinct()
+    )
+    how = "left_anti" if keep == "clean" else "left_semi"
+    return docs.join(hit_ids, id_col, how)
+
+
 def shingle_sets(df, text_col: str, id_col: str, k: int = 5, out: str = "shingles"):
     """(id, shingles array<string>) with distinct shingles per document —
     the set form used for exact Jaccard (one groupBy shuffle)."""

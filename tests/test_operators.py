@@ -301,6 +301,36 @@ class TestSampling:
         assert got == want
 
 
+class TestDecontaminate:
+    def test_drops_benchmark_and_overlapping_docs(self, spark):
+        from myzql_binlog_connector_spark.operators.text import decontaminate
+
+        leak = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            (0, "completely unrelated text about gardening and soil quality"),
+            (1, f"prefix {leak} suffix"),          # contains the benchmark span
+            (2, leak),                              # the benchmark doc itself
+            (3, "another clean document on astronomy and telescopes today"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+        bench = spark.createDataFrame([(leak,)], "text string")
+        clean = {r.doc_id for r in decontaminate(docs, bench, k=40).collect()}
+        assert clean == {0, 3}
+        dirty = {r.doc_id for r in
+                 decontaminate(docs, bench, k=40, keep="contaminated").collect()}
+        assert dirty == {1, 2}
+
+    def test_short_benchmark_doc_matches_exact_short_doc(self, spark):
+        from myzql_binlog_connector_spark.operators.text import decontaminate
+
+        docs = spark.createDataFrame(
+            [(0, "tiny"), (1, "other")], "doc_id bigint, text string"
+        )
+        bench = spark.createDataFrame([("tiny",)], "text string")
+        clean = {r.doc_id for r in decontaminate(docs, bench, k=40).collect()}
+        assert clean == {1}
+
+
 class TestDedupSurvivors:
     def test_keeps_min_id_per_cluster_and_singletons(self, spark):
         from myzql_binlog_connector_spark.operators.dedup import dedup_survivors
