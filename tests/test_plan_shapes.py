@@ -23,6 +23,8 @@ GUARDED = [
     "broadcast_region_rollup",
     "semi_join_big_orders",
     "anti_join_quiet_customers",
+    "decontaminate_docs",
+    "dedup_survivors",
 ]
 
 BNLJ_ALLOWED = {"ann_ivf_topk", "ann_cosine_topk"}  # broadcast probe/centroid crosses
