@@ -100,3 +100,48 @@ def test_codegen_matches_generic(case):
     for ci, name in enumerate(EnvelopeBatch.__slots__):
         for r, old in enumerate(generic):
             assert old[name] == cols[ci][r], (name, r, old[name], cols[ci][r])
+
+
+@settings(max_examples=120, deadline=None)
+@given(table_and_rows())
+def test_vectorized_envelope_matches_generic(case):
+    """rowvec's batched-numpy envelope decode vs the generic per-value
+    decoder over random schemas: hot-type-only schemas take the vectorized
+    path, schemas with any cold column (blob/decimal/json) must fall back
+    — either way output parity is exact (order-insensitive: the vec path
+    groups by event shape)."""
+    from collections import Counter
+
+    from myzql_binlog_connector_spark.binlog.rowvec import EnvVecCollector
+    from myzql_binlog_connector_spark.functions.decode import _ARROW_ENVELOPE
+
+    schema, rows, dml = case
+    w = EventWriter()
+    w.format_description()
+    w.table_map(77, schema)
+    if dml == "I":
+        w.write_rows(77, schema, rows)
+    elif dml == "D":
+        w.delete_rows(77, schema, rows)
+    else:
+        w.update_rows(77, schema, [(r, r) for r in rows])
+    packets = [(1, i + 1, i + 1, pkt) for i, (_, pkt) in enumerate(w.events)]
+
+    s1 = BinlogSession()
+    generic = []
+    for fs, g, es, pkt in packets:
+        generic.extend(s1.process_packet(pkt, file_seq=fs, gtid=g, event_seq=es))
+    names = EnvelopeBatch.__slots__
+    want = Counter(tuple(rec[n] for n in names) for rec in generic)
+
+    s2 = BinlogSession()
+    out = EnvelopeBatch()
+    vec = EnvVecCollector(_ARROW_ENVELOPE)
+    got = Counter()
+    for fs, g, es, pkt in packets:
+        s2.process_packet_columnar_vec(pkt, fs, g, es, out, vec)
+    got.update(zip(*out.columns()))
+    for rb in vec.flush():
+        t = rb.to_pydict()
+        got.update(zip(*[t[n] for n in names]))
+    assert got == want
