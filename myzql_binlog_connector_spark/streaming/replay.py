@@ -40,6 +40,7 @@ class BinlogReplayStream:
         stop_position: tuple[int, int] | None = None,
         max_files_per_trigger: int | None = 1,
         compact_every: int | None = None,
+        on_error: str = "raise",
     ):
         self.spark = spark
         self.segments_path = segments_path
@@ -50,6 +51,10 @@ class BinlogReplayStream:
         self.stop_position = stop_position
         self.max_files_per_trigger = max_files_per_trigger
         self.compact_every = compact_every
+        # "quarantine": undecodable packets become dml_type='_corrupt'
+        # rows (excluded from the merge) instead of killing the stream —
+        # a continuous tail should not die to one bit-rotted event
+        self.on_error = on_error
         self.batch_records: list[dict] = []
         self._applied_since_compact = 0
 
@@ -67,6 +72,7 @@ class BinlogReplayStream:
             batch_df,
             table_filter=self.table_filter,
             stop_position=self.stop_position,
+            on_error=self.on_error,
         )
         if self.from_position is not None:
             from pyspark.sql import functions as F

@@ -99,6 +99,41 @@ class TestQuarantine:
         assert env.filter("dml_type != '_corrupt'").count() == 40
         env.unpersist()
 
+    def test_streaming_replay_survives_corrupt_segment(self, spark, tmp_path):
+        """A continuous tail must not die to one bit-rotted event: the
+        stream quarantines it and the final state covers everything else."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq_
+
+        from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+        from myzql_binlog_connector_spark.streaming.replay import BinlogReplayStream
+
+        events = _stream_df(spark, truncate_idx=(1,)).collect()
+        seg_dir = tmp_path / "segs"
+        seg_dir.mkdir()
+        t = pa.table({
+            "file_seq": pa.array([r.file_seq for r in events], pa.int32()),
+            "offset": pa.array([r.offset for r in events], pa.int64()),
+            "gtid": pa.array([r.gtid for r in events], pa.int64()),
+            "event_seq": pa.array([r.event_seq for r in events], pa.int64()),
+            "event_type": pa.array([r.event_type for r in events], pa.int8()),
+            "event_blob": pa.array([bytes(r.event_blob) for r in events], pa.binary()),
+        })
+        pq_.write_table(t, str(seg_dir / "segment-000001.parquet"))
+
+        table = BucketedLakeTable(
+            spark, str(tmp_path / "lake"), ["conv_id", "turn_idx"], n_buckets=4
+        )
+        BinlogReplayStream(
+            spark,
+            str(seg_dir),
+            TranscriptsApplier(spark, table, salt=None),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            on_error="quarantine",
+        ).run_to_completion()
+        assert table.read().count() == 50  # 5 healthy events × 10 rows
+
     def test_applier_excludes_corrupt_rows(self, spark, tmp_path):
         from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
         from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
