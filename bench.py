@@ -313,6 +313,7 @@ HEADLINE = [
     "quality_scores",
     "token_counts",
     "multimodal_meta",
+    "decontaminate_docs",
 ]
 
 
