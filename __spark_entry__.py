@@ -1292,12 +1292,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "decontaminate_docs": f"""
             WITH {fuzzy.shingle_cte_sql("documents", "text", "doc_id", 40)},
+            hashed AS (
+              SELECT doc_id,
+                     CAST(concat('0x', substring(md5(concat('0', ':', sh)), 1, 15)) AS BIGINT) AS h
+              FROM shingled
+            ),
             bench_sh AS (
-              SELECT DISTINCT sh FROM shingled WHERE doc_id % 17 = 0
+              SELECT DISTINCT h FROM hashed WHERE doc_id % 17 = 0
             ),
             hits AS (
-              SELECT DISTINCT s.doc_id FROM shingled s
-              JOIN bench_sh b ON s.sh = b.sh
+              SELECT DISTINCT s.doc_id FROM hashed s
+              JOIN bench_sh b ON s.h = b.h
             )
             SELECT d.doc_id, d.n_chars FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)

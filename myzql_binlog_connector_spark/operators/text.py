@@ -88,20 +88,37 @@ def decontaminate(
     the engine's shingle kernel).
 
     Shape at 10^9 docs: one shingle pass over the corpus (explode +
-    substring, pure codegen), the benchmark's distinct shingles on the
-    other side of a LEFT SEMI equi-join — benchmark sets are eval-sized
-    (thousands of docs), so the join broadcasts and the corpus never
-    shuffles; a contaminated-id semi/anti join back onto the docs frame
-    finishes it.  ``keep="clean"`` returns the decontaminated corpus,
-    ``keep="contaminated"`` the flagged docs (for auditing)."""
+    substring, pure codegen; the source is repartitioned when it arrives
+    in fewer files than cores, or the broadcast semi-join would leave the
+    whole pass in one task), the benchmark's distinct shingle HASHES on
+    the other side of a LEFT SEMI equi-join — eval sets are small, and
+    joining on the 60-bit md5 hash instead of the raw 40-char shingle
+    cuts the broadcast ~5×; a contaminated-id semi/anti join back onto
+    the docs frame finishes it.  ``keep="clean"`` returns the
+    decontaminated corpus, ``keep="contaminated"`` the flagged docs (for
+    auditing)."""
     bt = bench_text_col or text_col
-    doc_sh = shingle_rows(docs, text_col, id_col, k=k)
+    src = docs.select(id_col, text_col)
+    sc = docs.sparkSession.sparkContext
+    try:
+        n_in = len(docs.inputFiles())
+    except Exception:
+        n_in = 0
+    if 0 < n_in < sc.defaultParallelism:
+        src = src.repartition(sc.defaultParallelism, id_col)
+    doc_sh = shingle_rows(src, text_col, id_col, k=k).select(
+        id_col, h60(F.col("sh")).alias("__h__")
+    )
     bench = benchmark.select(
         F.monotonically_increasing_id().alias("__bid__"), F.col(bt)
     )
-    bench_sh = shingle_rows(bench, bt, "__bid__", k=k).select("sh").distinct()
+    bench_sh = (
+        shingle_rows(bench, bt, "__bid__", k=k)
+        .select(h60(F.col("sh")).alias("__h__"))
+        .distinct()
+    )
     hit_ids = (
-        doc_sh.join(bench_sh, "sh", "left_semi").select(id_col).distinct()
+        doc_sh.join(bench_sh, "__h__", "left_semi").select(id_col).distinct()
     )
     how = "left_anti" if keep == "clean" else "left_semi"
     return docs.join(hit_ids, id_col, how)
