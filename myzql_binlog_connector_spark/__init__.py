@@ -14,6 +14,7 @@ Public API surface (see README.md for the architecture):
 """
 
 from .functions.decode import (  # noqa: F401
+    DML_CORRUPT,
     ENVELOPE_SCHEMA,
     decode_changes,
     decode_segment_files,
@@ -21,11 +22,12 @@ from .functions.decode import (  # noqa: F401
     scan_schemas,
 )
 from .functions.table_filter import FilterRuleError, TableFilter  # noqa: F401
-from .plans.apply import TranscriptsApplier  # noqa: F401
+from .plans.apply import MultiTableApplier, TranscriptsApplier  # noqa: F401
 from .plans.lake import BucketedLakeTable  # noqa: F401
 from .streaming.replay import BinlogReplayStream  # noqa: F401
 
 __all__ = [
+    "DML_CORRUPT",
     "ENVELOPE_SCHEMA",
     "decode_changes",
     "decode_segment_files",
@@ -34,6 +36,7 @@ __all__ = [
     "TableFilter",
     "FilterRuleError",
     "TranscriptsApplier",
+    "MultiTableApplier",
     "BucketedLakeTable",
     "BinlogReplayStream",
 ]
