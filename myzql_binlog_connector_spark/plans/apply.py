@@ -521,6 +521,8 @@ class MultiTableApplier:
             )
         by_table: dict = {}
         for r in desc_rows:
+            if r["database"] is None or r["payload_schema"] is None:
+                continue  # dead-letter rows (quarantine mode) route nowhere
             by_table.setdefault((r["database"], r["table_name"]), []).append(
                 r["payload_schema"]
             )

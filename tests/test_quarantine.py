@@ -134,6 +134,26 @@ class TestQuarantine:
         ).run_to_completion()
         assert table.read().count() == 50  # 5 healthy events × 10 rows
 
+    def test_multitable_applier_ignores_corrupt_rows(self, spark, tmp_path):
+        """Dead-letter rows carry null database/payload_schema — the
+        fan-out applier must not try to create a (None, None) table."""
+        from myzql_binlog_connector_spark.plans.apply import MultiTableApplier
+
+        env = decode_changes(
+            _stream_df(spark, truncate_idx=(2,)), on_error="quarantine"
+        )
+        mt = MultiTableApplier(
+            spark,
+            str(tmp_path / "lake"),
+            table_specs={("chat", "transcripts"): {
+                "column_names": ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+                "key_positions": (0, 1), "n_buckets": 4,
+            }},
+        )
+        records = mt.apply_batch(env, batch_id=0)
+        assert set(records) == {("chat", "transcripts")}
+        assert mt.table_for("chat", "transcripts").read().count() == 50
+
     def test_applier_excludes_corrupt_rows(self, spark, tmp_path):
         from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
         from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
