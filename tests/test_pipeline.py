@@ -59,6 +59,32 @@ class TestApplyState:
         want = sorted((k[0], k[1], v[3]) for k, v in stream.truth.items())
         assert got == want
 
+    def test_aligned_writes_plan_same_state(self, spark, tmp_path):
+        """The one-shuffle cluster plan (aligned_writes=True: repartition on
+        the bucket function, so the LWW aggregate and the partitionBy write
+        reuse ONE exchange) must produce exactly the default plan's state.
+        The stream is sized past the n_buckets*512 activation bound so the
+        aligned branch genuinely runs (a small batch falls back)."""
+        stream = generate_stream(seed=47, n_convs=800, n_segments=3)
+        write_segments_parquet(stream, str(tmp_path / "seg"))
+        env = decode_changes(spark.read.parquet(str(tmp_path / "seg")))
+        n_ops = sum(len(rows) for _fs, rows in stream.segments)
+        assert n_ops >= 2 * 512  # over the activation bound at n_buckets=2
+        table = BucketedLakeTable(
+            spark, str(tmp_path / "t_aligned"), ["conv_id", "turn_idx"],
+            n_buckets=2, aligned_writes=True,
+        )
+        rec = TranscriptsApplier(spark, table).apply_batch(env, batch_id=0)
+        assert not rec.get("skipped")
+        got = {
+            (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+            for r in table.read().collect()
+        }
+        assert got == _truth_dict(stream)
+        # redelivery stays a no-op on this plan too
+        rec2 = TranscriptsApplier(spark, table).apply_batch(env, batch_id=1)
+        assert rec2.get("skipped")
+
     def test_redelivery_is_noop(self, spark, stream_and_events):
         stream, events, tmp = stream_and_events
         env = decode_changes(events)
