@@ -21,8 +21,11 @@ thousands of rows — the per-row interpreter cost disappears.
 Varlen values never touch per-value Python either: the walk records
 (start, len) vectors; one repeat/arange gather builds each string column's
 contiguous data buffer, handed to ``pa.StringArray.from_buffers``.
-Timestamps collect as int64 microseconds and format through Arrow's C++
-``strftime`` (plus a ``.000000``-strip regex pass to match ``_fmt_ts``).
+Timestamps collect as int64 microseconds and render through an int-math
+digit matrix (vectorized civil_from_days; bit-identical to ``_fmt_ts``,
+fuzz-pinned).  Envelope JSON assembles in Arrow C++
+(``binary_join_element_wise`` over variant-selected separator pieces)
+with a sparse-scatter escape expander matching stdlib/orjson escaping.
 
 Supported: VARCHAR/VAR_STRING, TINY/SHORT/INT24/LONG/LONGLONG, YEAR,
 FLOAT/DOUBLE, TIMESTAMP, TIMESTAMP2 — the hot OLTP row shape (and the
@@ -350,6 +353,19 @@ def _run_indices(starts, lens, cum, total, big_len):
     return idx
 
 
+
+def _offsets32(cum):
+    """Arrow StringArray offsets are int32: a silent cast past 2 GiB of
+    string data per batch would corrupt offsets, so refuse loudly (the
+    collectors' rows_hint flush bound keeps real batches ~100× smaller)."""
+    if int(cum[-1]) >= (1 << 31):
+        raise ValueError(
+            "string data exceeds the 2 GiB Arrow offset limit in one batch "
+            "— lower the collector flush bound"
+        )
+    return pa.py_buffer(np.ascontiguousarray(cum, np.int32))
+
+
 def _gather_strings(big, starts, lens, valid):
     """One contiguous data buffer + offsets from scattered (start, len)
     slices — a vectorized runs gather; no per-value Python."""
@@ -375,7 +391,7 @@ def _string_array(big, starts, lens, valid):
         n_nulls = int((~valid).sum())
     return pa.StringArray.from_buffers(
         len(starts),
-        pa.py_buffer(np.ascontiguousarray(offsets, np.int32)),
+        _offsets32(offsets),
         pa.py_buffer(np.ascontiguousarray(data)),
         validity,
         n_nulls,
@@ -443,7 +459,7 @@ def _ts_string_array(us, valid):
         n_nulls = int((~valid).sum())
     return pa.StringArray.from_buffers(
         n,
-        pa.py_buffer(np.ascontiguousarray(cum, np.int32)),
+        _offsets32(cum),
         pa.py_buffer(np.ascontiguousarray(data)),
         validity,
         n_nulls,
@@ -733,7 +749,7 @@ def _escaped_string_array(big, starts, lens, valid):
         # escape-free column: the gathered bytes ARE the output
         return pa.StringArray.from_buffers(
             n,
-            pa.py_buffer(np.ascontiguousarray(cum, np.int32)),
+            _offsets32(cum),
             pa.py_buffer(np.ascontiguousarray(data)),
         )
     # escape bytes are sparse → the per-byte output shift is piecewise
@@ -764,7 +780,7 @@ def _escaped_string_array(big, starts, lens, valid):
     shift = cumx[np.searchsorted(esc_pos, cum, side="left")]
     return pa.StringArray.from_buffers(
         n,
-        pa.py_buffer(np.ascontiguousarray(cum + shift, np.int32)),
+        _offsets32(cum + shift),
         pa.py_buffer(np.ascontiguousarray(esc)),
     )
 
@@ -786,7 +802,7 @@ def _ts_string_pieces(vals, null):
     )
     return pa.StringArray.from_buffers(
         n,
-        pa.py_buffer(np.ascontiguousarray(cum, np.int32)),
+        _offsets32(cum),
         pa.py_buffer(np.ascontiguousarray(data)),
     ), valid
 
