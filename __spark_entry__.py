@@ -187,6 +187,46 @@ def q_cdc_change_feed(spark, sf_dir):
     )
 
 
+def q_cdc_quarantine(spark, sf_dir):
+    """Dead-letter quarantine under LWW apply: every 13th WRITE_ROWS event
+    of the documents CDC stream is bit-flipped (stale CRC kept), decode
+    runs with ``on_error="quarantine"``, and the merged state must contain
+    exactly the healthy events' documents — corrupt events quarantine as
+    ``_corrupt`` rows instead of failing the job, and the appliers exclude
+    them.  The oracle reconstructs the corrupted 80-doc chunks from doc_id
+    rank (documents.parquet is doc_id-ascending; the encoder chunks it in
+    that order)."""
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+    from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+    from myzql_binlog_connector_spark.sources.segments import EVENTS_SCHEMA
+
+    raw = harness.docs_cdc_events(spark, sf_dir, n_segments=2).collect()
+    rows, rows_seen = [], 0
+    for r in raw:
+        blob = bytearray(r.event_blob)
+        if blob[5] in (30, 31, 32):  # WRITE_ROWS
+            if rows_seen % 13 == 5:
+                blob[30] ^= 0xFF  # flip a body byte, keep the stale CRC
+            rows_seen += 1
+        rows.append((r.file_seq, r.offset, r.gtid, r.event_seq,
+                     blob[5], bytes(blob)))
+    events = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    env = decode_changes(events, verify_crc=True, on_error="quarantine")
+    table = BucketedLakeTable(
+        spark, tempfile.mkdtemp(prefix="cdc_q_"), ["doc_id"], n_buckets=8
+    )
+    TranscriptsApplier(
+        spark, table,
+        column_names=["doc_id", "text", "lang", "source", "n_chars"],
+        key_positions=(0,),
+    ).apply_batch(env, batch_id=0)
+    return table.read().select("doc_id", "lang", "n_chars")
+
+
 def q_cdc_bootstrap_handoff(spark, sf_dir):
     """Snapshot bootstrap + CDC handoff (Debezium initial-load analogue):
     a pre-existing table snapshot (half the events keys with a ×10 value
@@ -914,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_multitable_state": q_cdc_multitable_state,
         "cdc_bootstrap_handoff": q_cdc_bootstrap_handoff,
+        "cdc_quarantine": q_cdc_quarantine,
         "lww_dedup_events": q_lww_dedup_events,
         "lww_dedup_salted_events": q_lww_dedup_salted_events,
         "event_type_filter": q_event_type_filter,
@@ -1061,6 +1102,21 @@ def oracle_sql() -> dict[str, str]:
                         ELSE value END AS value,
                    (event_type = 'click') AS _deleted
             FROM events
+        """,
+        "cdc_quarantine": """
+            WITH ranked AS (
+              SELECT doc_id, lang, n_chars,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS rk
+              FROM documents
+            ),
+            params AS (
+              SELECT CAST(ceil(count(*) / 2.0) AS BIGINT) AS per,
+                     CAST(ceil(ceil(count(*) / 2.0) / 80.0) AS BIGINT) AS cps
+              FROM documents
+            )
+            SELECT doc_id, lang, n_chars
+            FROM ranked, params
+            WHERE ((rk // per) * cps + (rk % per) // 80) % 13 <> 5
         """,
         "cdc_bootstrap_handoff": """
             SELECT CAST(event_id + 10000000 AS BIGINT) AS event_id,
