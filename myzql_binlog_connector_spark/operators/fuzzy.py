@@ -207,15 +207,20 @@ def minhash_dup_pairs(
     arrays ever ship through a join (they'd blow task memory at 10^9
     docs with long documents)."""
     release_cached()  # free blocks left by a previous fuzzy query
-    # signatures feed the banding join AND the agreement prefilter — persist
+    # the signature frame feeds the banding join on BOTH sides — persist
     # so the corpus-wide shingle pass runs once (doc-count-sized frame)
     sigs = _persist_tracked(
         minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     )
     n_bands = n_hashes // band_rows
-    # band key = concat of the band's r minhashes
+    # band key = concat of the band's r minhashes; the FULL signature rides
+    # along (n_hashes ints per band row — a few MB at corpus scale), so the
+    # agreement prefilter evaluates INSIDE the banding join output: no
+    # candidate-scale joins back against the signature frame, and the
+    # distinct() dedupes the ~100×-smaller prefiltered stream
     bands = sigs.select(
         id_col,
+        *[F.col(f"mh_{i}") for i in range(n_hashes)],
         F.explode(
             F.array(
                 *[
@@ -233,8 +238,13 @@ def minhash_dup_pairs(
                 ]
             )
         ).alias("bm"),
-    ).select(id_col, "bm.band", "bm.mh")
+    ).select(id_col, *[f"mh_{i}" for i in range(n_hashes)], "bm.band", "bm.mh")
+    m = min_sig_agree(n_hashes, jaccard_threshold, band_rows)
     l, r = bands.alias("l"), bands.alias("r")
+    agree = None
+    for i in range(n_hashes):
+        term = (F.col(f"l.mh_{i}") == F.col(f"r.mh_{i}")).cast("int")
+        agree = term if agree is None else agree + term
     cand = (
         l.join(
             r,
@@ -242,30 +252,9 @@ def minhash_dup_pairs(
             & (F.col("l.mh") == F.col("r.mh"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
+        .filter(agree >= F.lit(m))
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
-    )
-    # signature-agreement prefilter: two candidate-sized equi-joins against
-    # the (persisted) signatures, then a codegen sum of per-hash equality —
-    # cuts the candidate stream ~100× before the expensive exact verify
-    m = min_sig_agree(n_hashes, jaccard_threshold, band_rows)
-    sa = sigs.select(
-        F.col(id_col).alias("id_a"),
-        *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(n_hashes)],
-    )
-    sb = sigs.select(
-        F.col(id_col).alias("id_b"),
-        *[F.col(f"mh_{i}").alias(f"_b{i}") for i in range(n_hashes)],
-    )
-    agree = None
-    for i in range(n_hashes):
-        term = (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int")
-        agree = term if agree is None else agree + term
-    cand = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(agree >= F.lit(m))
-        .select("id_a", "id_b")
     )
     # surviving candidate pairs are re-read several times by the verifier
     # (ids, intersection, base) — persist so banding + prefilter run once;
