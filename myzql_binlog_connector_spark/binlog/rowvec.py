@@ -49,6 +49,17 @@ from .constants import ColumnType, DML_DELETE, DML_INSERT, DML_UPDATE
 # through the per-row parsers (A/B benchmarking; emergency fallback)
 DISABLED = bool(os.environ.get("SPARK_GRAFT_NO_ROWVEC"))
 
+# deferred-buffer flush bound (estimated rows per collector before a forced
+# vectorized flush).  This is the FALLBACK for decoders built without a
+# parallelism hint; the Spark-level entry points size it per core via
+# ``functions.decode._vec_flush_rows`` — at 32 workers on one box, 32
+# collectors each deferring 512k rows (~50 MB of buffers + giant output
+# RecordBatches) thrash the shared memory bus and the single local-mode
+# JVM's heap, which made the typed path ~1.8x SLOWER than the per-row
+# parsers at local[32] while winning at 2-8 cores (round-4 verdict).
+# Tunable override for A/B: SPARK_GRAFT_VEC_FLUSH_ROWS.
+FLUSH_ROWS = int(os.environ.get("SPARK_GRAFT_VEC_FLUSH_ROWS") or (1 << 19))
+
 _TS2_FRAC_BYTES = (0, 1, 1, 2, 2, 3, 3)
 
 # ---------------------------------------------------------------------------

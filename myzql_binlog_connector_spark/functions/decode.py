@@ -21,11 +21,14 @@ the reference's last-TABLE_MAP-wins semantics within each segment
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pyarrow as pa
 
 from pyspark.sql import DataFrame
+
+from ..binlog import rowvec as _rv
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -147,8 +150,31 @@ def _blob_views(arr) -> list:
     return [mv[offs[i] : offs[i + 1]] for i in range(n)]
 
 
+def _vec_flush_rows(parallelism: int | None) -> int:
+    """Per-worker deferred-row flush bound for the vectorized collectors.
+
+    A fixed TOTAL budget (1M estimated rows across the job) divided by the
+    worker count, clamped to [8192, 512k].  Rationale: the numpy kernels
+    saturate their vectorization win by a few thousand rows per group, but
+    the deferred buffers + flush output batches are ~100 bytes/row of hot
+    working set PER WORKER — at local[32] a 512k/worker bound (~50 MB x 32)
+    thrashed the shared memory bus and JVM heap and made the typed path
+    1.8x slower than the per-row parsers (round-4 regression); 16-32k/worker
+    restored it to fastest-overall.  At 2 cores the same formula yields the
+    old 512k bound, where big batches win (+28% pinned A/B).
+    ``SPARK_GRAFT_VEC_FLUSH_ROWS`` overrides unconditionally.
+    """
+    env = os.environ.get("SPARK_GRAFT_VEC_FLUSH_ROWS")
+    if env:
+        return int(env)
+    if not parallelism or parallelism <= 0:
+        return 1 << 19
+    return max(8192, min(1 << 19, (1 << 20) // parallelism))
+
+
 def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 8192,
-                 verify_crc: bool = False, on_error: str = "raise"):
+                 verify_crc: bool = False, on_error: str = "raise",
+                 flush_rows: int | None = None):
     """Build the mapInArrow function.  One BinlogSession per partition: the
     table-map cache persists across Arrow batches within the partition,
     matching the reference reader whose cache lives for the connection.
@@ -161,6 +187,8 @@ def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 81
     ``dml_type='_corrupt'`` instead of failing the job; decode continues.
     Default ``"raise"`` keeps reference-parity fail-fast semantics."""
     from ..binlog.decoder import EnvelopeBatch
+
+    flush_rows = flush_rows or _rv.FLUSH_ROWS
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..binlog.rowvec import EnvVecCollector
@@ -193,7 +221,7 @@ def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 81
                 if len(out) >= out_batch_rows:
                     yield _env_to_batch(out)
                     out = EnvelopeBatch()
-            if vec.rows_hint >= 1 << 19:
+            if vec.rows_hint >= flush_rows:
                 for rb in vec.flush(on_error=on_error, quarantine=q_cb):
                     session.rows_emitted += rb.num_rows
                     yield rb
@@ -257,6 +285,7 @@ def make_typed_decoder(
     table_filter=None,
     stop_position=None,
     out_batch_rows: int = 8192,
+    flush_rows: int | None = None,
 ):
     """Arrow UDF body: raw packets → typed change rows.
 
@@ -284,6 +313,7 @@ def make_typed_decoder(
 
     kinds_t = tuple(kinds)
     keys_t = tuple(key_positions)
+    flush_rows = flush_rows or _rv.FLUSH_ROWS
 
     def decode_stream(packet_iter):
         """packet_iter yields (blob, file_seq, gtid, event_seq).
@@ -315,9 +345,10 @@ def make_typed_decoder(
                 apps = tuple(c.append for c in cols[: n_payload + 1])
                 meta_cols = cols[n_payload + 1 :]
                 n = 0
-            if vec.rows_hint >= 1 << 19:
+            if vec.rows_hint >= flush_rows:
                 # bound deferred-buffer memory (and keep string columns far
-                # below the int32 Arrow offset limit) on huge inputs
+                # below the int32 Arrow offset limit on huge inputs); sized
+                # per worker count — see _vec_flush_rows
                 for rb in vec.flush():
                     session.rows_emitted += rb.num_rows
                     yield rb
@@ -391,7 +422,8 @@ def decode_typed_from_files(
     )
 
     decode_stream, arrow_schema = make_typed_decoder(
-        column_names, kinds, key_positions, table_filter, stop_position
+        column_names, kinds, key_positions, table_filter, stop_position,
+        flush_rows=_vec_flush_rows(spark.sparkContext.defaultParallelism),
     )
     fields = [
         StructField(name, {"i": LongType(), "f": DoubleType(), "s": StringType()}[k], True)
@@ -450,6 +482,7 @@ def decode_segment_files(
     import pyarrow.parquet as pq
 
     bins_df = _bin_pack_paths(spark, paths)
+    flush_rows = _vec_flush_rows(spark.sparkContext.defaultParallelism)
 
     def decode_files(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..binlog.decoder import BinlogSession, EnvelopeBatch
@@ -479,7 +512,7 @@ def decode_segment_files(
                         if len(out) >= out_batch_rows:
                             yield _env_to_batch(out)
                             out = EnvelopeBatch()
-                        if vec.rows_hint >= 1 << 19:
+                        if vec.rows_hint >= flush_rows:
                             for rb in vec.flush():
                                 session.rows_emitted += rb.num_rows
                                 yield rb
@@ -599,6 +632,9 @@ def decode_changes(
             stop_position=stop_position,
             verify_crc=verify_crc,
             on_error=on_error,
+            flush_rows=_vec_flush_rows(
+                events_df.sparkSession.sparkContext.defaultParallelism
+            ),
         ),
         schema=ENVELOPE_SCHEMA,
     )
