@@ -394,7 +394,10 @@ def compile_decoder(spec: ColumnSpec):
         return d
     if t == ColumnType.TIMESTAMP2:
         nb = [0, 1, 1, 2, 2, 3, 3][meta]
-        scale = 10 ** (6 - meta) if nb else 1
+        # us per stored fraction unit: 2-digit units per storage byte
+        # (1B=centisec, 2B=10us, 3B=us) — reference parseFraction; NOT
+        # 10**(6-fsp), which over-decodes odd fsp by 10x
+        scale = (0, 10_000, 10_000, 100, 100, 1, 1)[meta] if nb else 1
 
         def d(buf, pos):
             secs = (buf[pos] << 24) | (buf[pos + 1] << 16) | (buf[pos + 2] << 8) | buf[pos + 3]
@@ -620,6 +623,21 @@ class EnvelopeBatch:
     def columns(self) -> list[list]:
         return [getattr(self, name) for name in self.__slots__]
 
+    def mark(self) -> tuple:
+        """Per-column lengths, for :meth:`truncate` after a mid-event parse
+        failure.  The per-row parsers append ``before/after_values`` row by
+        row and only extend the meta columns once the whole event decodes,
+        so an exception can leave the columns ragged."""
+        return tuple(len(getattr(self, name)) for name in self.__slots__)
+
+    def truncate(self, marks: tuple) -> None:
+        """Discard everything appended after ``marks`` (partial rows of a
+        failed event), restoring a rectangular batch."""
+        for name, n in zip(self.__slots__, marks):
+            col = getattr(self, name)
+            if len(col) > n:
+                del col[n:]
+
 
 class BinlogSession:
     """Stateful ordered scan over one binlog segment sequence.
@@ -714,6 +732,17 @@ class BinlogSession:
             return None
         body = mv[1 : len(mv) - CRC_LEN]
         hdr = parse_header(body)
+        # structural truncation check: the framed packet is OK byte +
+        # event_size bytes (header.event_size includes header + body + CRC —
+        # the capture client always negotiates CRC32, capture_daemon.py).
+        # Without this, a blob cut exactly at a row boundary decodes a
+        # PREFIX of the event's rows silently instead of raising/quarantining.
+        if len(mv) != hdr.event_size + 1:
+            raise ValueError(
+                f"truncated event: framed packet {len(mv)}B != event_size "
+                f"{hdr.event_size}+1 (event_type={hdr.event_type}, "
+                f"file_seq={file_seq})"
+            )
         payload = body[HEADER_LEN:]
 
         # bounded-replay stop: events at log_pos >= stop are EXCLUDED

@@ -118,7 +118,8 @@ def _emit_decode(lines, ind, i, spec, env):
         env.setdefault("BI4", struct.Struct(">I").unpack_from)
         nb = _TS2_FRAC_BYTES[meta]
         if nb:
-            scale = 10 ** (6 - meta)
+            # 2-digit units per storage byte (see wire._FRAC_UNIT)
+            scale = (0, 10_000, 10_000, 100, 100, 1, 1)[meta]
             mul = "" if scale == 1 else f" * {scale}"
             a(
                 f"{ind}v{i} = fts(BI4(buf, pos)[0],"

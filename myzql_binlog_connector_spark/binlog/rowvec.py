@@ -129,8 +129,10 @@ def _plan_image(schema, present, kinds, n_payload, allow_float=True):
             if bad_kind(i, ("s",)):
                 return None
             nb = _TS2_FRAC_BYTES[meta]
+            # 2-digit units per storage byte (see wire._FRAC_UNIT)
             ops.append(_ColOp(out, "ts2", w=4 + nb, nb=nb,
-                              scale=10 ** (6 - meta) if nb else 1))
+                              scale=(0, 10_000, 10_000, 100, 100, 1, 1)[meta]
+                              if nb else 1))
         else:
             return None
     return ops
@@ -330,8 +332,12 @@ def walk_group(plan: VecPlan, big, pos0, end):
         if bool((pos > end).any()):
             # a row image read past its event body: truncated/corrupt
             # event (a healthy server never emits one).  Raise for the
-            # whole group — the collector's quarantine path retries
-            # events singly so only the corrupt ones are dropped.
+            # whole group.  On the ENVELOPE path (EnvVecCollector.flush)
+            # quarantine mode retries events singly so only the corrupt
+            # ones are dead-lettered; the TYPED path (TypedVecCollector)
+            # is fail-fast by design — its output schema has nowhere to
+            # carry a dead-letter row, so bit-rot-tolerant appliers go
+            # through apply_batch(decode_changes(on_error="quarantine")).
             raise ValueError(
                 "row image overran event body (truncated or corrupt event)"
             )

@@ -105,9 +105,29 @@ def verify_crc(blob: bytes | memoryview) -> bool:
 
 _FRAC_BYTES = [0, 1, 1, 2, 2, 3, 3]  # bytes used for fsp 0..6
 
+# MySQL stores the fraction in 2-DIGIT units per storage byte, not in fsp
+# digits: 1 byte holds centiseconds (x10_000 us), 2 bytes 10-us units
+# (x100), 3 bytes microseconds (x1) — reference event_parser.zig
+# parseFraction.  For odd fsp the server truncates the VALUE to fsp digits
+# but still stores it in the even-digit unit (fsp=1 value 0.9s -> stored
+# 90).  10**(6-fsp) is only right for even fsp; odd fsp was decoding 10x
+# too large (and the encoder mirrored it, hiding the bug from round-trips).
+_FRAC_UNIT = [0, 10_000, 10_000, 100, 100, 1, 1]  # us per stored unit, fsp 0..6
+
 
 def frac_bytes(fsp: int) -> int:
     return _FRAC_BYTES[fsp]
+
+
+def frac_unit_us(fsp: int) -> int:
+    return _FRAC_UNIT[fsp]
+
+
+def _encode_frac(us: int, fsp: int) -> int:
+    """Stored fraction field: us truncated to fsp digits, expressed in the
+    storage byte count's 2-digit unit (a real server truncates on INSERT)."""
+    digits = us // (10 ** (6 - fsp))
+    return digits * ((10 ** (6 - fsp)) // _FRAC_UNIT[fsp])
 
 
 def encode_timestamp2(unix_us: int, fsp: int = 6) -> bytes:
@@ -117,8 +137,7 @@ def encode_timestamp2(unix_us: int, fsp: int = 6) -> bytes:
     out = secs.to_bytes(4, "big")
     nb = frac_bytes(fsp)
     if nb:
-        frac = us // (10 ** (6 - fsp))
-        out += frac.to_bytes(nb, "big")
+        out += _encode_frac(us, fsp).to_bytes(nb, "big")
     return out
 
 
@@ -129,7 +148,7 @@ def decode_timestamp2(buf: memoryview, pos: int, fsp: int) -> tuple[int, int]:
     nb = frac_bytes(fsp)
     us = 0
     if nb:
-        us = int.from_bytes(buf[pos : pos + nb], "big") * (10 ** (6 - fsp))
+        us = int.from_bytes(buf[pos : pos + nb], "big") * _FRAC_UNIT[fsp]
         pos += nb
     return secs * 1_000_000 + us, pos
 
@@ -151,7 +170,7 @@ def encode_datetime2(
     out = packed.to_bytes(5, "big")
     nb = frac_bytes(fsp)
     if nb:
-        out += (us // (10 ** (6 - fsp))).to_bytes(nb, "big")
+        out += _encode_frac(us, fsp).to_bytes(nb, "big")
     return out
 
 
@@ -162,7 +181,7 @@ def decode_datetime2(buf: memoryview, pos: int, fsp: int) -> tuple[tuple, int]:
     nb = frac_bytes(fsp)
     us = 0
     if nb:
-        us = int.from_bytes(buf[pos : pos + nb], "big") * (10 ** (6 - fsp))
+        us = int.from_bytes(buf[pos : pos + nb], "big") * _FRAC_UNIT[fsp]
         pos += nb
     packed &= (1 << 39) - 1  # drop sign bit
     ym = (packed >> 22) & 0x1FFFF
@@ -181,7 +200,7 @@ def encode_time2(hours: int, minutes: int, secs: int, us: int, negative: bool, f
     two's-complement of the whole packed field (event_parser.zig:796-836)."""
     packed = (1 << 23) | (hours << 12) | (minutes << 6) | secs
     nb = frac_bytes(fsp)
-    frac = us // (10 ** (6 - fsp)) if nb else 0
+    frac = _encode_frac(us, fsp) if nb else 0
     total_bits = 24 + nb * 8
     combined = (packed << (nb * 8)) | frac
     if negative:
@@ -205,7 +224,7 @@ def decode_time2(buf: memoryview, pos: int, fsp: int) -> tuple[tuple, int]:
     hours = (packed >> 12) & 0x3FF
     minutes = (packed >> 6) & 0x3F
     secs = packed & 0x3F
-    us = frac * (10 ** (6 - fsp)) if nb else 0
+    us = frac * _FRAC_UNIT[fsp] if nb else 0
     return (negative, hours, minutes, secs, us), pos
 
 

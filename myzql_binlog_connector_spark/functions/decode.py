@@ -189,6 +189,7 @@ def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 81
     from ..binlog.decoder import EnvelopeBatch
 
     flush_rows = flush_rows or _rv.FLUSH_ROWS
+    quarantine = on_error == "quarantine"
 
     def decode_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from ..binlog.rowvec import EnvVecCollector
@@ -208,13 +209,21 @@ def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 81
             event_seqs = batch.column("event_seq").to_pylist()
             blobs = _blob_views(batch.column("event_blob"))
             for i in range(batch.num_rows):
+                # Per-row parsers append before/after_values row by row and
+                # extend the meta columns only after the event fully decodes;
+                # snapshot so a mid-event failure can be rolled back instead
+                # of leaving the batch ragged (which would fail the whole
+                # partition in RecordBatch.from_arrays — defeating quarantine
+                # exactly on the events it exists for).
+                marks = out.mark() if quarantine else None
                 try:
                     session.process_packet_columnar_vec(
                         blobs[i], file_seqs[i], gtids[i], event_seqs[i], out, vec
                     )
                 except Exception as e:
-                    if on_error != "quarantine":
+                    if not quarantine:
                         raise
+                    out.truncate(marks)
                     _quarantine_env_row(
                         out, blobs[i], file_seqs[i], gtids[i], event_seqs[i], e
                     )

@@ -68,6 +68,12 @@ def _widened(old: str, new: str) -> str | None:
     return None
 
 
+class RetentionOverrunError(ValueError):
+    """A change-feed consumer asked for versions that vacuum has expired —
+    resuming would silently gap the feed (Delta CDF / Iceberg changelog
+    raise in the same situation)."""
+
+
 class BucketedLakeTable:
     """``n_buckets`` sizing: aim for ~0.5–2 GB of live data per bucket, so a
     100 TB table wants tens of thousands of buckets; the sandbox default is
@@ -230,7 +236,10 @@ class BucketedLakeTable:
         return df
 
     def read_changes(
-        self, from_version: int = 1, to_version: int | None = None
+        self,
+        from_version: int = 1,
+        to_version: int | None = None,
+        allow_gaps: bool = False,
     ) -> DataFrame:
         """Change feed (CDC-out): the change rows committed in versions
         ``[from_version, to_version]``, with a ``_commit_version`` column —
@@ -244,12 +253,24 @@ class BucketedLakeTable:
         feeds over folded history stay readable.  Retention = the lineage
         window (last 200 commits kept in the manifest) intersected with
         the vacuum window: ``vacuum()`` deletes expired versions' delta
-        files, so the feed floors ``from_version`` at the oldest retained
-        manifest — lineage records below it would plan deleted paths."""
+        files.  A consumer resuming from a version that vacuum has expired
+        gets ``RetentionOverrunError`` — a silent gap would corrupt every
+        downstream incremental view, which is why Delta CDF / Iceberg
+        changelog raise here too.  Pass ``allow_gaps=True`` to explicitly
+        accept a feed floored at the oldest retained version (the
+        "starting-version-latest" style escape hatch)."""
         m = self._read_manifest()
         schema = StructType.fromJson(json.loads(m["schema"]))
         hi = m["version"] if to_version is None else to_version
-        lo = max(from_version, min(self.versions(), default=from_version))
+        oldest = min(self.versions(), default=from_version)
+        if from_version < oldest and not allow_gaps:
+            raise RetentionOverrunError(
+                f"change feed from_version={from_version} precedes the oldest "
+                f"retained version {oldest} (vacuumed): the feed would be "
+                f"gapped.  Re-bootstrap the consumer from a snapshot, or pass "
+                f"allow_gaps=True to accept a feed starting at {oldest}."
+            )
+        lo = max(from_version, oldest)
         parts = []
         for rec in m.get("lineage", []):
             v = rec.get("version")

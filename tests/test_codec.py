@@ -160,3 +160,111 @@ class TestTemporal:
         enc = wire.encode_datetime_old(1999, 12, 31, 23, 59, 59)
         got, _ = wire.decode_datetime_old(memoryview(enc), 0)
         assert got == (1999, 12, 31, 23, 59, 59, 0)
+
+
+class TestOddFspFraction:
+    """Round-5 ADVICE regression: MySQL stores fractional seconds in 2-DIGIT
+    units per storage byte (1B=centiseconds, 2B=10-us units, 3B=us), so for
+    odd fsp the stored integer is NOT us/10**(6-fsp).  The old code was
+    self-consistent encoder+decoder (round-trips passed) but decoded real
+    server bytes 10x too large.  Byte literals below are hand-built from the
+    MySQL row-format spec (reference event_parser.zig parseFraction)."""
+
+    def test_timestamp2_fsp1_byte_literal(self):
+        # 2024-01-01 00:00:00.9 UTC, fsp=1: 4B BE seconds + 1B frac in
+        # CENTISECONDS -> 0.9s stored as 90, decoded us = 90 * 10_000
+        buf = (1_704_067_200).to_bytes(4, "big") + bytes([90])
+        us, pos = wire.decode_timestamp2(memoryview(buf), 0, 1)
+        assert pos == 5
+        assert us == 1_704_067_200 * 1_000_000 + 900_000
+
+    def test_timestamp2_fsp3_byte_literal(self):
+        # fsp=3: 2B frac in 10-us units -> .123 stored as 1230
+        buf = (100).to_bytes(4, "big") + (1230).to_bytes(2, "big")
+        us, pos = wire.decode_timestamp2(memoryview(buf), 0, 3)
+        assert pos == 6
+        assert us == 100 * 1_000_000 + 123_000
+
+    def test_timestamp2_fsp5_byte_literal(self):
+        # fsp=5: 3B frac in MICROSECONDS -> .99999 stored as 999_990
+        buf = (7).to_bytes(4, "big") + (999_990).to_bytes(3, "big")
+        us, pos = wire.decode_timestamp2(memoryview(buf), 0, 5)
+        assert pos == 7
+        assert us == 7 * 1_000_000 + 999_990
+
+    def test_datetime2_fsp1_byte_literal(self):
+        # packed 2024-06-15 12:34:56 + frac byte 50 (centisec) = .5s
+        ym = 2024 * 13 + 6
+        packed = (1 << 39) | (ym << 22) | (15 << 17) | (12 << 12) | (34 << 6) | 56
+        buf = packed.to_bytes(5, "big") + bytes([50])
+        parts, _ = wire.decode_datetime2(memoryview(buf), 0, 1)
+        assert parts == (2024, 6, 15, 12, 34, 56, 500_000)
+
+    def test_time2_fsp3_byte_literal(self):
+        # 01:02:03.456, fsp=3: 3B packed + 2B frac in 10-us units (4560)
+        packed = (1 << 23) | (1 << 12) | (2 << 6) | 3
+        buf = packed.to_bytes(3, "big") + (4560).to_bytes(2, "big")
+        (neg, h, m, s, us), _ = wire.decode_time2(memoryview(buf), 0, 3)
+        assert (neg, h, m, s, us) == (False, 1, 2, 3, 456_000)
+
+    def test_roundtrip_all_fsp_truncates_to_fsp_digits(self):
+        us_in = 987_654
+        for fsp in range(7):
+            enc = wire.encode_timestamp2(1_000 * 1_000_000 + us_in, fsp)
+            got, _ = wire.decode_timestamp2(memoryview(enc), 0, fsp)
+            scale = 10 ** (6 - fsp)
+            assert got == 1_000 * 1_000_000 + (us_in // scale) * scale, fsp
+
+    def test_encode_fsp1_stores_centiseconds(self):
+        # the encoder must write the even-digit unit a real server writes
+        enc = wire.encode_timestamp2(1_000 * 1_000_000 + 900_000, 1)
+        assert enc[4] == 90  # not 9 (fsp-digit), not 900 (overflow)
+
+    def test_rowcodec_and_rowvec_parity_odd_fsp(self):
+        """Both generated-parser and vectorized paths decode an fsp=3
+        TIMESTAMP2 column to the same (correct) string."""
+        import json as _json
+
+        from myzql_binlog_connector_spark.binlog.encoder import (
+            EventWriter,
+            TableSchema,
+            long_col,
+            timestamp2,
+            varchar,
+        )
+        from test_quarantine import _decode_inprocess
+
+        schema = TableSchema(
+            database="chat",
+            table="odd_fsp",
+            columns=(varchar(32, nullable=False), long_col(nullable=False),
+                     timestamp2(3)),
+            column_names=("k", "i", "t"),
+        )
+        # 2024-01-01 00:00:00.123 -> truncated to fsp=3
+        ts_us = 1_704_067_200 * 1_000_000 + 123_000
+        w = EventWriter(server_id=1)
+        w.format_description()
+        w.table_map(9, schema)
+        w.write_rows(9, schema, [(f"k{i}", i, ts_us) for i in range(8)])
+        packets = [(o, p) for o, p in w.events]
+
+        from myzql_binlog_connector_spark.binlog import rowvec
+
+        vals = {}
+        for disabled in (False, True):
+            old = rowvec.DISABLED
+            rowvec.DISABLED = disabled
+            try:
+                batches = _decode_inprocess(packets, on_error="raise")
+            finally:
+                rowvec.DISABLED = old
+            got = {
+                _json.loads(av)["c0"]: _json.loads(av)["c2"]
+                for rb in batches
+                for av in rb.column("after_values").to_pylist()
+                if av
+            }
+            vals[disabled] = got
+        assert vals[False] == vals[True]
+        assert vals[False]["k0"] == "2024-01-01 00:00:00.123000"

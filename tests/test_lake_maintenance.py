@@ -395,18 +395,31 @@ class TestVacuum:
         assert versions_in_feed == set(keep)
         assert feed.count() > 0
 
-    def test_read_changes_below_retention_floors_not_fails(self, spark, tmp_path):
-        """ADVICE r3: after vacuum deletes expired delta files, the lineage
-        records that reference them remain in the retained manifest —
-        read_changes with a from_version below the retention window must
-        skip them (floor at the oldest retained manifest), not plan the
-        deleted paths and fail mid-read."""
+    def test_read_changes_below_retention_raises(self, spark, tmp_path):
+        """ADVICE r4: resuming a change feed from a version vacuum has
+        expired must FAIL LOUD (RetentionOverrunError) — a silently-gapped
+        feed corrupts every downstream incremental consumer, which is why
+        Delta CDF / Iceberg changelog raise here too."""
+        import pytest as _pytest
+
+        from myzql_binlog_connector_spark.plans.lake import RetentionOverrunError
+
         table, truth = self._three_commits(spark, tmp_path)
         table.compact()  # supersedes the delta files in files{}
         table.vacuum(retain_last=1)  # deletes commits 1-3's delta files
         floor = min(table.versions())
-        feed = table.read_changes()  # default from_version=1 < floor
-        rows = feed.collect()  # must not raise missing-file errors
+        with _pytest.raises(RetentionOverrunError, match="precedes the oldest"):
+            table.read_changes()  # default from_version=1 < floor
+
+    def test_read_changes_below_retention_allow_gaps_floors(self, spark, tmp_path):
+        """The explicit escape hatch: allow_gaps=True floors at the oldest
+        retained version instead of planning deleted paths (ADVICE r3) —
+        and never raises missing-file errors mid-read."""
+        table, truth = self._three_commits(spark, tmp_path)
+        table.compact()
+        table.vacuum(retain_last=1)
+        floor = min(table.versions())
+        rows = table.read_changes(allow_gaps=True).collect()
         assert all(r._commit_version >= floor for r in rows)
         # the live snapshot is unaffected
         got = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}

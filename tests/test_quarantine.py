@@ -169,3 +169,132 @@ class TestQuarantine:
         # 5 surviving events × 10 rows merged; the corrupt event's rows absent
         assert len(got) == 50
         assert ("conv-30", 30) not in got  # event 3 covered rows 30-39
+
+
+# ---------------------------------------------------------------------------
+# round-5 regression: mid-event failure on the PER-ROW parser path must not
+# leave the shared EnvelopeBatch ragged.  The codegen env parsers append
+# before/after_values row by row and extend the meta columns only when the
+# whole event decodes; quarantine used to append the dead-letter row on top
+# of the partial rows, leaving before/after_values k rows longer than the
+# meta columns and failing RecordBatch.from_arrays for the whole partition —
+# on exactly the shapes quarantine exists for (non-vectorizable schemas,
+# SPARK_GRAFT_NO_ROWVEC=1).
+# ---------------------------------------------------------------------------
+
+from myzql_binlog_connector_spark.binlog.constants import ColumnType
+from myzql_binlog_connector_spark.binlog.encoder import (
+    ColumnSpec,
+    TableSchema,
+    long_col,
+    varchar,
+)
+
+DECIMAL_SCHEMA = TableSchema(
+    database="chat",
+    table="ledger",
+    columns=(
+        varchar(64, nullable=False),                      # conv_id
+        long_col(nullable=False),                         # turn_idx
+        ColumnSpec(ColumnType.NEWDECIMAL, (12 << 8) | 4), # amount (no vec plan)
+        varchar(64),                                      # note
+    ),
+    column_names=("conv_id", "turn_idx", "amount", "note"),
+)
+
+
+def _decode_inprocess(packets, on_error="quarantine"):
+    """Run make_decoder's partition function directly on one Arrow batch —
+    no Spark, so the per-row path / kill-switch can be exercised in-process."""
+    import pyarrow as pa
+
+    from myzql_binlog_connector_spark.functions.decode import make_decoder
+
+    batch = pa.record_batch(
+        [
+            pa.array([1] * len(packets), pa.int32()),
+            pa.array([p[0] for p in packets], pa.int64()),
+            pa.array(list(range(1, len(packets) + 1)), pa.int64()),
+            pa.array(list(range(1, len(packets) + 1)), pa.int64()),
+            pa.array([bytes(p[1]) for p in packets], pa.binary()),
+        ],
+        names=["file_seq", "offset", "gtid", "event_seq", "event_blob"],
+    )
+    return list(make_decoder(on_error=on_error)(iter([batch])))
+
+
+def _truncate_rows_event(events, rows_idx, frac=0.55):
+    """Truncate the ``rows_idx``-th ROWS event mid-body (some full rows
+    decode, then the parser overruns mid-row)."""
+    out, seen = [], 0
+    for offset, pkt in events:
+        blob = pkt
+        if pkt[5] in (30, 31, 32):
+            if seen == rows_idx:
+                blob = pkt[: int(len(pkt) * frac)]
+            seen += 1
+        out.append((offset, blob))
+    return out
+
+
+class TestQuarantineRaggedBatch:
+    def _assert_rectangular_with_one_corrupt(self, batches, n_good):
+        # reaching here at all proves from_arrays got rectangular columns
+        assert batches
+        dml = [d for rb in batches for d in rb.column("dml_type").to_pylist()]
+        assert dml.count("_corrupt") == 1
+        assert len(dml) - 1 == n_good
+        bad = [
+            json.loads(av)
+            for rb in batches
+            for d, av in zip(
+                rb.column("dml_type").to_pylist(),
+                rb.column("after_values").to_pylist(),
+            )
+            if d == "_corrupt"
+        ]
+        assert "error" in bad[0] and bad[0]["blob_prefix"]
+
+    def test_nonvectorizable_schema_mid_event_failure(self):
+        """DECIMAL column => no vec plan => per-row codegen path."""
+        w = EventWriter(server_id=1)
+        w.format_description()
+        w.table_map(7, DECIMAL_SCHEMA)
+        for i in range(4):
+            w.write_rows(
+                7,
+                DECIMAL_SCHEMA,
+                [(f"conv-{j}", j, "123.4567", f"note {j}")
+                 for j in range(i * 10, i * 10 + 10)],
+            )
+        packets = _truncate_rows_event(w.events, rows_idx=2)
+        batches = _decode_inprocess(packets)
+        self._assert_rectangular_with_one_corrupt(batches, n_good=30)
+        # the failed event's partially-decoded rows were rolled back, not
+        # emitted: none of rows 20-29 appear
+        convs = {
+            json.loads(av)["c0"]
+            for rb in batches
+            for d, av in zip(
+                rb.column("dml_type").to_pylist(),
+                rb.column("after_values").to_pylist(),
+            )
+            if d == "INSERT"
+        }
+        assert len(convs) == 30
+        assert convs.isdisjoint({f"conv-{j}" for j in range(20, 30)})
+
+    def test_kill_switch_mid_event_failure(self, monkeypatch):
+        """SPARK_GRAFT_NO_ROWVEC routes the vectorizable transcripts schema
+        through the same per-row path; quarantine must survive it too."""
+        from myzql_binlog_connector_spark.binlog import rowvec
+
+        monkeypatch.setattr(rowvec, "DISABLED", True)
+        w = EventWriter(server_id=1)
+        w.format_description()
+        w.table_map(5, TRANSCRIPTS_SCHEMA)
+        for i in range(4):
+            w.write_rows(5, TRANSCRIPTS_SCHEMA, _rows(10, start=i * 10))
+        packets = _truncate_rows_event(w.events, rows_idx=1)
+        batches = _decode_inprocess(packets)
+        self._assert_rectangular_with_one_corrupt(batches, n_good=30)
