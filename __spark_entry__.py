@@ -587,6 +587,57 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return fuzzy.ngram_jaccard(docs, pairs, shingle_k=5, threshold=0.0)
 
 
+def q_minhash_recall(spark, sf_dir):
+    """Pins the LSH pipeline's recall so future candidate-cutting can't
+    silently lose near-dups (the round-4 signature-agreement prefilter
+    trades recall exactly at the threshold boundary — documented in
+    fuzzy.py but unmeasured until now).
+
+    Truth set: exact shingle-Jaccard >= 0.7 over rare-shingle blocking —
+    candidate pairs share at least one 5-shingle with document frequency
+    in [2, 64].  A J>=0.7 pair shares most of its shingles, so unless a
+    document is pure high-df boilerplate some shared shingle is rare;
+    validated exhaustive vs unrestricted all-pairs at sf0.001 (28 == 28
+    truth pairs).  This blocking is itself the scale path: the inverted
+    index join touches only rare postings, never df^2 of ' the '-class
+    shingles.  recall = fraction of truth pairs the production
+    minhash_dup_pairs pipeline (8 hashes, banding + signature-agreement
+    prefilter + exact verify at threshold 0.35) recovers.  One summary
+    row; the floor is asserted in tests/test_operators.py."""
+    from myzql_binlog_connector_spark.operators.text import shingle_rows
+
+    docs = _read(spark, sf_dir, "documents")
+    # distinct (doc, shingle) — the same normalized universe as the
+    # oracle's shingled CTE
+    shingled = shingle_rows(docs, "text", "doc_id", k=5).distinct()
+    rare = (
+        shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 64))
+        .select("sh")
+    )
+    rs = shingled.join(rare, "sh")
+    cand = (
+        rs.alias("a")
+        .join(rs.alias("b"), (F.col("a.sh") == F.col("b.sh"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    truth = fuzzy.ngram_jaccard(docs, cand, shingle_k=5, threshold=0.7)
+    lsh = fuzzy.minhash_dup_pairs(
+        docs, n_hashes=8, shingle_k=5, jaccard_threshold=0.35
+    ).select("id_a", "id_b").withColumn("_hit", F.lit(1))
+    marked = truth.join(lsh, ["id_a", "id_b"], "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_found"),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            / F.count(F.lit(1)), 4
+        ).alias("recall"),
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 10)
@@ -617,20 +668,18 @@ def q_embedding_near_dup(spark, sf_dir):
     ).select("id_a", "id_b", "sim")
 
 
-def q_lang_id_docs(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
-
-
-def q_quality_scores(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
-
-
-def q_token_counts(spark, sf_dir):
+def q_text_metrics(spark, sf_dir):
+    """Language-ID + quality score + token counts in ONE per-doc pass.
+    These were three oracle queries (lang_id_docs / quality_scores /
+    token_counts) through round 4; merged so the whole registry fits the
+    driver's 50-query correctness budget — the operators and their oracles
+    are unchanged, just projected side by side (which is also the realistic
+    pipeline shape: one scan computing every per-doc metric)."""
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
+        T.lang_id(F.col("text")).alias("lang_pred"),
+        T.quality_score(F.col("text")).alias("quality"),
         T.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
         T.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_subtokens"),
     )
@@ -869,10 +918,16 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 def q_multimodal_real_decode(spark, sf_dir):
-    """REAL codec round-trip, fully distributed: workers render a PNG per
-    document (dims derived from doc columns), then decode_media parses the
-    actual bytes back — the oracle recomputes the dims from the same
-    formula.  Exercises operators/codecs.py end-to-end inside Spark."""
+    """REAL codec round-trips, fully distributed, images AND videos in one
+    result (merged from the round-4 multimodal_real_decode +
+    multimodal_video_meta queries so the registry fits the driver's
+    50-query correctness budget).  Workers render a real PNG and a minimal
+    valid mp4 container (ftyp + moov/mvhd/tkhd) per document with dims /
+    duration derived from doc columns; decode_media(fake=False) parses the
+    actual bytes back and the oracle recomputes from the same formulas.
+    Exercises operators/codecs.py (PNG encode/parse + ISO 14496-12 box
+    walk) end-to-end inside Spark.  Frame DECODE still needs ffmpeg and
+    stays stubbed — this is the metadata half."""
     from myzql_binlog_connector_spark.operators.multimodal import decode_media
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -881,7 +936,10 @@ def q_multimodal_real_decode(spark, sf_dir):
         import numpy as np
         import pandas as pd
 
-        from myzql_binlog_connector_spark.operators.codecs import encode_png
+        from myzql_binlog_connector_spark.operators.codecs import (
+            encode_mp4_meta,
+            encode_png,
+        )
 
         for pdf in batches:
             ids, kinds, payloads = [], [], []
@@ -892,46 +950,25 @@ def q_multimodal_real_decode(spark, sf_dir):
                 ids.append(did)
                 kinds.append("image")
                 payloads.append(encode_png(arr))
-            yield pd.DataFrame({"media_id": ids, "kind": kinds, "payload": payloads})
-
-    media = docs.mapInPandas(gen, "media_id long, kind string, payload binary")
-    meta = decode_media(media, fake=False)
-    return meta.select(
-        F.col("media_id").alias("doc_id"), "width", "height", "format"
-    )
-
-
-def q_multimodal_video_meta(spark, sf_dir):
-    """Video metadata, REAL box parse, fully distributed: workers synthesize
-    minimal valid mp4 containers (ftyp + moov/mvhd/tkhd — codecs.
-    encode_mp4_meta) with dims/duration derived from doc columns, then
-    decode_media(fake=False) parses the actual boxes back; the oracle
-    recomputes from the same formula.  Frame DECODE still needs ffmpeg and
-    stays stubbed — this is the metadata half (ISO 14496-12 box walk)."""
-    from myzql_binlog_connector_spark.operators.multimodal import decode_media
-
-    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
-
-    def gen(batches):
-        import pandas as pd
-
-        from myzql_binlog_connector_spark.operators.codecs import encode_mp4_meta
-
-        for pdf in batches:
-            ids, kinds, payloads = [], [], []
-            for did, nch in zip(pdf["doc_id"], pdf["n_chars"]):
-                w = 160 + (int(did) % 8) * 16
-                h = 90 + (int(nch) % 8) * 16
+                vw = 160 + (int(did) % 8) * 16
+                vh = 90 + (int(nch) % 8) * 16
                 dur = 1000 + (int(did) % 100) * 250
                 ids.append(did)
                 kinds.append("video")
-                payloads.append(encode_mp4_meta(w, h, dur))
+                payloads.append(encode_mp4_meta(vw, vh, dur))
             yield pd.DataFrame({"media_id": ids, "kind": kinds, "payload": payloads})
 
     media = docs.mapInPandas(gen, "media_id long, kind string, payload binary")
     meta = decode_media(media, fake=False)
+    # duration 0 (not NULL) for stills: a NULL BIGINT round-trips as NaN
+    # through the oracle's pandas bridge and breaks the value hash
     return meta.select(
-        F.col("media_id").alias("doc_id"), "width", "height", "duration_ms", "format"
+        F.col("media_id").alias("doc_id"),
+        "kind",
+        "width",
+        "height",
+        F.coalesce(F.col("duration_ms"), F.lit(0)).cast("long").alias("duration_ms"),
+        "format",
     )
 
 
@@ -975,13 +1012,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_recall": q_minhash_recall,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "lsh_buckets": q_lsh_buckets,
         "embedding_near_dup": q_embedding_near_dup,
-        "lang_id_docs": q_lang_id_docs,
-        "quality_scores": q_quality_scores,
-        "token_counts": q_token_counts,
+        "text_metrics": q_text_metrics,
         "doc_fingerprints": q_doc_fingerprints,
         "winnowing_fingerprints": q_winnowing_fingerprints,
         "json_extract_props": q_json_extract_props,
@@ -993,7 +1029,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_real_decode": q_multimodal_real_decode,
-        "multimodal_video_meta": q_multimodal_video_meta,
     }
 
 
@@ -1269,6 +1304,30 @@ def oracle_sql() -> dict[str, str]:
                          / len(list_distinct(list_concat(a.shset, b.shset))), 4) AS jaccard
             FROM pairs p JOIN sets a ON a.doc_id = p.id_a JOIN sets b ON b.doc_id = p.id_b
         """,
+        "minhash_recall": f"""
+            WITH {dup_pairs_cte},
+            rare AS (
+              SELECT sh FROM shingled GROUP BY sh HAVING count(*) BETWEEN 2 AND 64
+            ),
+            rs AS (SELECT s.doc_id, s.sh FROM shingled s JOIN rare r ON r.sh = s.sh),
+            cand_t AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM rs a JOIN rs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            ),
+            truth AS (
+              SELECT c.id_a, c.id_b
+              FROM cand_t c
+              JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b
+              WHERE round(CAST(len(list_intersect(a.shset, b.shset)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.shset, b.shset))), 4) >= 0.7
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_truth,
+                   CAST(coalesce(sum(CASE WHEN d.id_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_found,
+                   round(CAST(coalesce(sum(CASE WHEN d.id_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE)
+                         / count(*), 4) AS recall
+            FROM truth t
+            LEFT JOIN dup_pairs d ON d.id_a = t.id_a AND d.id_b = t.id_b
+        """,
         "ann_cosine_topk": f"""
             SELECT probe_id, neighbor_id, sim, rank FROM (
               SELECT b.vec_id AS probe_id, a.vec_id AS neighbor_id,
@@ -1297,10 +1356,10 @@ def oracle_sql() -> dict[str, str]:
             FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             WHERE round({cos_ab}, 4) >= 0.3
         """,
-        "lang_id_docs": f"SELECT doc_id, {T.lang_id_sql('text')} AS lang_pred FROM documents",
-        "quality_scores": f"SELECT doc_id, {T.quality_score_sql('text')} AS quality FROM documents",
-        "token_counts": f"""
+        "text_metrics": f"""
             SELECT doc_id,
+                   {T.lang_id_sql('text')} AS lang_pred,
+                   {T.quality_score_sql('text')} AS quality,
                    CAST(CASE WHEN trim(text)='' THEN 0
                         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
                    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_subtokens
@@ -1314,10 +1373,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "multimodal_real_decode": """
-            SELECT doc_id,
+            SELECT doc_id, 'image' AS kind,
                    CAST(8 + doc_id %% 16 AS INT) AS width,
                    CAST(8 + n_chars %% 16 AS INT) AS height,
+                   CAST(0 AS BIGINT) AS duration_ms,
                    'png' AS format
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'video' AS kind,
+                   CAST(160 + doc_id %% 8 * 16 AS INT) AS width,
+                   CAST(90 + n_chars %% 8 * 16 AS INT) AS height,
+                   CAST(1000 + doc_id %% 100 * 250 AS BIGINT) AS duration_ms,
+                   'mp4' AS format
             FROM documents
         """.replace('%%', '%'),
         "multimodal_meta": f"""
@@ -1383,12 +1450,4 @@ def oracle_sql() -> dict[str, str]:
               WHERE c.doc_id = d.doc_id AND c.cluster_id <> d.doc_id
             )
         """,
-        "multimodal_video_meta": """
-            SELECT doc_id,
-                   CAST(160 + doc_id %% 8 * 16 AS INT) AS width,
-                   CAST(90 + n_chars %% 8 * 16 AS INT) AS height,
-                   CAST(1000 + doc_id %% 100 * 250 AS BIGINT) AS duration_ms,
-                   'mp4' AS format
-            FROM documents
-        """.replace('%%', '%'),
     }

@@ -309,9 +309,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "lsh_buckets",
     "embedding_near_dup",
-    "lang_id_docs",
-    "quality_scores",
-    "token_counts",
+    "text_metrics",
     "multimodal_meta",
     "decontaminate_docs",
 ]
