@@ -356,6 +356,13 @@ def main():
         queries[name] = round(time.monotonic() - t0, 3)
         release_cached()  # drop operator-persisted blocks between queries
 
+    # IVF cell balance (round-5 directive: sampled k-means replaced strided
+    # centroids — log the histogram so skewed cells are visible, not silent)
+    from myzql_binlog_connector_spark.operators.similarity import ivf_cell_stats
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ivf_cells = ivf_cell_stats(emb, stride=100)
+
     total = round(sum(queries.values()), 3)
     out = {
         "metric": "headline_suite_sec",
@@ -368,6 +375,7 @@ def main():
         "cdc_decode": dec,
         "cdc_decode_shuffle": dec_sh,
         "cdc_multitable": mt,
+        "ivf_cells": ivf_cells,
     }
     print(json.dumps(out))
     spark.stop()

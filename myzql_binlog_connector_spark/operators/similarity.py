@@ -281,6 +281,113 @@ def ann_topk_bruteforce(
 # ---------------------------------------------------------------------------
 
 
+#: Lloyd refinement schedule shared by the Spark and DuckDB IVF paths:
+#: sample = every (stride // KMEANS_OVERSAMPLE)-th vector, iterations
+#: unrolled KMEANS_ITERS times.  Fixed constants + deterministic strided
+#: seeding keep the two engines bit-agreeing (no RNG, no data-order
+#: dependence); means are rounded to 6 dp (cell populations are ~tens of
+#: sample vectors, so cross-engine float-sum-order differences are ~1e-15
+#: — far below the rounding grid), assignment sims to 4 dp with id
+#: tie-breaks.
+KMEANS_ITERS = 2
+KMEANS_OVERSAMPLE = 8
+
+
+def _kmeans_centroids(corpus, stride, id_col, vec_col, dims):
+    """Sampled-Lloyd centroids as a (tiny) DataFrame: (_cid, _cvec, _cnrm).
+
+    Replaces the round-4 strided stand-in (every stride-th VECTOR as a
+    centroid) which risked wildly unbalanced cells at 10^9 vectors —
+    centroids now move to the mean of their sample cell, so dense regions
+    get tighter centroids.  Training runs over a strided SAMPLE
+    (KMEANS_OVERSAMPLE x centroid count), not the corpus: at 10^9 vectors
+    the train set is still stride/8 of it, all broadcast-sized.  A centroid
+    whose sample cell goes empty drops out (same semantics in the SQL
+    mirror)."""
+    samp_stride = max(1, stride // KMEANS_OVERSAMPLE)
+    sample = corpus.filter((F.col(id_col) % samp_stride) == 0).select(
+        F.col(id_col).alias("_sid"), F.col(vec_col).alias("_svec")
+    )
+    cents = corpus.filter((F.col(id_col) % stride) == 0).select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+    )
+    for _ in range(KMEANS_ITERS):
+        cn = cents.withColumn("_cnrm", norm_arrow(F.col("_cvec"), dims))
+        sn = sample.withColumn("_snrm", norm_arrow(F.col("_svec"), dims))
+        sim = F.round(
+            dot_arrow(F.col("_svec"), F.col("_cvec"), dims)
+            / (F.col("_snrm") * F.col("_cnrm")),
+            4,
+        )
+        scored = sn.join(F.broadcast(cn)).select(
+            "_sid", "_svec", F.col("_cid"), sim.alias("_csim")
+        )
+        best = F.max_by(
+            F.struct(F.col("_svec"), F.col("_cid")),
+            F.struct(F.col("_csim"), -F.col("_cid")),
+        )
+        asg = scored.groupBy("_sid").agg(best.alias("_r")).select(
+            F.col("_r._cid").alias("_cell"), F.col("_r._svec").alias("_svec")
+        )
+        cents = asg.groupBy("_cell").agg(
+            *[
+                F.round(
+                    F.avg(F.element_at(F.col("_svec"), j + 1).cast("double")), 6
+                ).alias(f"_e{j}")
+                for j in range(dims)
+            ]
+        ).select(
+            F.col("_cell").alias("_cid"),
+            F.array(*[F.col(f"_e{j}") for j in range(dims)]).alias("_cvec"),
+        )
+    return cents.select(
+        "_cid", "_cvec", norm_arrow(F.col("_cvec"), dims).alias("_cnrm")
+    )
+
+
+def ivf_cell_stats(
+    corpus: DataFrame,
+    stride: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = DEFAULT_DIMS,
+) -> dict:
+    """Cell-population histogram of the IVF partitioning (bench/telemetry:
+    pins that sampled-k-means keeps cells balanced — the strided stand-in
+    it replaced risked arbitrarily skewed cells at 10^9 vectors).  The
+    collect is bounded at one row per CELL (corpus/stride), never per
+    vector."""
+    cents = _kmeans_centroids(corpus, stride, id_col, vec_col, dims)
+    c = corpus.withColumn("_vnrm", norm_arrow(F.col(vec_col), dims))
+    sim_c = F.round(
+        dot_arrow(F.col(vec_col), F.col("_cvec"), dims)
+        / (F.col("_vnrm") * F.col("_cnrm")),
+        4,
+    )
+    scored = c.join(F.broadcast(cents)).select(
+        id_col, F.col("_cid"), sim_c.alias("_csim")
+    )
+    best = F.max_by(F.col("_cid"), F.struct(F.col("_csim"), -F.col("_cid")))
+    sizes = sorted(
+        r.n
+        for r in scored.groupBy(id_col)
+        .agg(best.alias("_cell"))
+        .groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not sizes:
+        return {"n_cells": 0}
+    return {
+        "n_cells": len(sizes),
+        "min": sizes[0],
+        "p50": sizes[len(sizes) // 2],
+        "max": sizes[-1],
+        "max_over_mean": round(sizes[-1] * len(sizes) / sum(sizes), 2),
+    }
+
+
 def ann_topk_ivf(
     corpus: DataFrame,
     probes: DataFrame,
@@ -293,8 +400,9 @@ def ann_topk_ivf(
     dims: int = DEFAULT_DIMS,
 ) -> DataFrame:
     """IVF top-k: partition the corpus into cells around deterministic
-    centroids (every ``stride``-th vector — a seeded stand-in for k-means,
-    chosen so the DuckDB oracle can share it exactly), search only the
+    sampled-k-means centroids (strided seeding + ``KMEANS_ITERS`` Lloyd
+    refinements over a strided sample — fixed constants and no RNG, so the
+    DuckDB oracle shares the exact computation), search only the
     ``nprobe`` nearest cells per probe.
 
     Scale shape at 10^9 vectors: centroids are tiny and broadcast; the
@@ -305,11 +413,7 @@ def ann_topk_ivf(
     are stable across engines and float summation orders; norms are
     projected per side before every join, so each joined stage computes
     one Arrow-batched dot per pair."""
-    cents = corpus.filter((F.col(id_col) % stride) == 0).select(
-        F.col(id_col).alias("_cid"),
-        F.col(vec_col).alias("_cvec"),
-        norm_arrow(F.col(vec_col), dims).alias("_cnrm"),
-    )
+    cents = _kmeans_centroids(corpus, stride, id_col, vec_col, dims)
 
     # cell assignment: argmax centroid per vector (norms precomputed per
     # side — the N×K joined stage computes one Arrow-batched dot per pair)
@@ -375,14 +479,44 @@ def ann_topk_ivf_sql(
     stride: int = 100,
     nprobe: int = 3,
     probe_pred: str = "vec_id < 10",
+    dims: int = DEFAULT_DIMS,
 ) -> str:
-    """DuckDB mirror of :func:`ann_topk_ivf`."""
+    """DuckDB mirror of :func:`ann_topk_ivf`, including the sampled-Lloyd
+    centroid training (same schedule constants, same rounding grid)."""
+    samp_stride = max(1, stride // KMEANS_OVERSAMPLE)
+    cos_sc = cosine_sql("s.svec", "c.cvec")
+    mean_list = ", ".join(
+        f"round(avg(CAST(svec[{j + 1}] AS DOUBLE)), 6)" for j in range(dims)
+    )
+    # unrolled Lloyd iterations: cents_0 = strided seed; cents_{i+1} =
+    # per-cell sample means of the assignment against cents_i
+    train = f"""sample AS (
+      SELECT vec_id AS sid, embedding AS svec FROM {table}
+      WHERE vec_id % {samp_stride} = 0
+    ), cents_0 AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM {table}
+      WHERE vec_id % {stride} = 0
+    )"""
+    for i in range(KMEANS_ITERS):
+        train += f""", asg_{i} AS (
+      SELECT sid, svec, cid AS cell FROM (
+        SELECT s.sid, s.svec, c.cid,
+               row_number() OVER (
+                 PARTITION BY s.sid
+                 ORDER BY round({cos_sc}, 4) DESC, c.cid
+               ) AS rn
+        FROM sample s CROSS JOIN cents_{i} c
+      ) WHERE rn = 1
+    ), cents_{i + 1} AS (
+      SELECT cell AS cid, list_value({mean_list}) AS cvec
+      FROM asg_{i} GROUP BY cell
+    )"""
     cos_ec = cosine_sql("e.embedding", "c.cvec")
     cos_pc = cosine_sql("p.embedding", "c.cvec")
     cos_pn = cosine_sql("a.embedding", "pc.pvec")
     return f"""
-    WITH cents AS (
-      SELECT vec_id AS cid, embedding AS cvec FROM {table} WHERE vec_id % {stride} = 0
+    WITH {train}, cents AS (
+      SELECT cid, cvec FROM cents_{KMEANS_ITERS}
     ), assigned AS (
       SELECT vec_id, embedding, cid AS cell FROM (
         SELECT e.vec_id, e.embedding, c.cid,

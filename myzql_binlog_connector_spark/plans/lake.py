@@ -74,6 +74,14 @@ class RetentionOverrunError(ValueError):
     raise in the same situation)."""
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Two writers raced to commit the same table version.  The table is a
+    single-writer design (one applier per table, like one binlog applier
+    per replica); this guard turns an accidental second writer from silent
+    interleaved LATEST swaps into a clean failure — the loser's data files
+    stay orphaned (invisible to readers) until vacuum."""
+
+
 class BucketedLakeTable:
     """``n_buckets`` sizing: aim for ~0.5–2 GB of live data per bucket, so a
     100 TB table wants tens of thousands of buckets; the sandbox default is
@@ -146,8 +154,26 @@ class BucketedLakeTable:
         os.makedirs(self._mdir(), exist_ok=True)
         version = manifest["version"]
         mpath = os.path.join(self._mdir(), f"v{version}.json")
-        with open(mpath, "w") as f:
+        # exclusive-create CAS: write the manifest to a temp name, then
+        # os.link it into place — link() fails with EEXIST if another
+        # writer already committed this version, and (unlike open('x') +
+        # write) a manifest only ever APPEARS complete.  This is the
+        # commit lock: two racing writers both compute version = latest+1;
+        # exactly one link wins, the loser raises ConcurrentWriteError
+        # before touching LATEST.
+        mtmp = os.path.join(self._mdir(), f".manifest.{uuid.uuid4().hex}")
+        with open(mtmp, "w") as f:
             json.dump(manifest, f, indent=1)
+        try:
+            os.link(mtmp, mpath)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {version} already committed at {self._mdir()} — "
+                f"another writer won the race.  This table is single-writer; "
+                f"re-read LATEST and retry (or stop the second applier)."
+            ) from None
+        finally:
+            os.remove(mtmp)
         # append the commit's lineage record to the durable metrics log
         # (A2: per-micro-batch lineage/metrics rows, queryable via
         # :meth:`metrics`); the jsonl append lands before the LATEST swap so

@@ -424,3 +424,66 @@ class TestVacuum:
         # the live snapshot is unaffected
         got = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
         assert got == truth
+
+
+class TestConcurrentWriterGuard:
+    """Round-5 directive: the single-writer contract is ENFORCED, not just
+    documented — two racing commits to the same version must resolve as one
+    winner and one clean ConcurrentWriteError, never silently interleaved
+    LATEST swaps."""
+
+    def test_interleaved_merges_one_wins_one_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from myzql_binlog_connector_spark.plans.lake import (
+            BucketedLakeTable,
+            ConcurrentWriteError,
+        )
+
+        path = str(tmp_path / "t")
+        t1 = BucketedLakeTable(spark, path, ["conv_id", "turn_idx"], n_buckets=4)
+        t1.merge(_mk_changes(spark, [("c1", 0, "base", 1, False)]), batch_id=0)
+
+        t2 = BucketedLakeTable(spark, path, ["conv_id", "turn_idx"], n_buckets=4)
+
+        # interleave: while t2's merge is between data-write and commit,
+        # t1 lands a full merge for the same next version
+        orig_commit = BucketedLakeTable._commit
+        fired = {}
+
+        def hijacked(self_t, manifest):
+            if self_t is t2 and not fired:
+                fired["x"] = True
+                t1.merge(
+                    _mk_changes(spark, [("c1", 0, "winner", 5, False)]),
+                    batch_id=1,
+                )
+            orig_commit(self_t, manifest)
+
+        t2._commit = hijacked.__get__(t2)
+        with _pytest.raises(ConcurrentWriteError, match="already committed"):
+            t2.merge(_mk_changes(spark, [("c1", 0, "loser", 4, False)]), batch_id=1)
+
+        # state is exactly the winner's commit, LATEST is consistent
+        t3 = BucketedLakeTable(spark, path, ["conv_id", "turn_idx"], n_buckets=4)
+        rows = {(r.conv_id, r.turn_idx): r.text for r in t3.read().collect()}
+        assert rows == {("c1", 0): "winner"}
+        assert max(t3.versions()) == int(
+            open(f"{path}/_manifests/LATEST").read().strip()
+        )
+
+    def test_commit_same_version_direct(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from myzql_binlog_connector_spark.plans.lake import (
+            BucketedLakeTable,
+            ConcurrentWriteError,
+        )
+
+        t = BucketedLakeTable(
+            spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4
+        )
+        t.merge(_mk_changes(spark, [("a", 0, "x", 1, False)]), batch_id=0)
+        m = t._read_manifest()
+        with _pytest.raises(ConcurrentWriteError):
+            t._commit(m)  # same version again
