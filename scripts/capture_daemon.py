@@ -13,10 +13,13 @@ Usage:
         [--password PW] [--server-id N] [--binlog-file F] [--binlog-pos N] \
         [--gtids "uuid:1-5,..."] [--ssl] OUT_DIR
 
-Auth support: mysql_native_password and caching_sha2_password (fast path
-always; full path requires TLS, where the cleartext-password exchange is
-safe — the plaintext RSA exchange needs an RSA-OAEP implementation we
-don't ship, so non-TLS full-auth raises with a clear message).
+Auth support: mysql_native_password and caching_sha2_password — fast path
+always; full path over TLS (cleartext-password exchange, safe on the
+encrypted channel) AND over plaintext sockets via the server-public-key
+RSA-OAEP exchange (request byte 0x02 → PEM public key → XOR-scrambled
+password encrypted with RSA-OAEP/SHA-1, RFC 8017 §7.1.1 implemented on
+hashlib — the same algorithm OpenSSL's RSA_PKCS1_OAEP_PADDING runs for a
+real server; reference src/mysql/auth.zig:84-136).
 """
 
 from __future__ import annotations
@@ -68,6 +71,80 @@ def scramble_native(password: bytes, nonce: bytes) -> bytes:
     h2 = hashlib.sha1(h1).digest()
     h3 = hashlib.sha1(nonce + h2).digest()
     return bytes(a ^ b for a, b in zip(h1, h3))
+
+
+# ---------------------------------------------------------------------------
+# caching_sha2 full auth without TLS: server-public-key RSA-OAEP exchange
+# (reference src/mysql/auth.zig:84-136).  All public algorithms: PEM/DER
+# SubjectPublicKeyInfo parse (RFC 5280), EME-OAEP with SHA-1/MGF1-SHA-1
+# (RFC 8017 §7.1.1 — OpenSSL's RSA_PKCS1_OAEP_PADDING defaults, which is
+# what mysqld uses for this exchange).
+# ---------------------------------------------------------------------------
+
+
+def _der_read_tlv(buf: memoryview, pos: int) -> tuple[int, memoryview, int]:
+    """One DER TLV: returns (tag, value, next_pos)."""
+    tag = buf[pos]
+    ln = buf[pos + 1]
+    pos += 2
+    if ln & 0x80:
+        nb = ln & 0x7F
+        ln = int.from_bytes(buf[pos : pos + nb], "big")
+        pos += nb
+    return tag, buf[pos : pos + ln], pos + ln
+
+
+def parse_rsa_public_pem(pem: bytes) -> tuple[int, int]:
+    """(n, e) from a PEM SubjectPublicKeyInfo (the blob mysqld sends)."""
+    import base64
+
+    body = b"".join(
+        line for line in pem.splitlines() if line and not line.startswith(b"-----")
+    )
+    der = memoryview(base64.b64decode(body))
+    tag, spki, _ = _der_read_tlv(der, 0)            # SEQUENCE (SPKI)
+    if tag != 0x30:
+        raise CaptureError(f"bad public key DER: outer tag {tag:#x}")
+    tag, _alg, pos = _der_read_tlv(spki, 0)          # SEQUENCE (algorithm)
+    tag, bits, _ = _der_read_tlv(spki, pos)          # BIT STRING (key)
+    if tag != 0x03 or bits[0] != 0:
+        raise CaptureError("bad public key DER: expected primitive BIT STRING")
+    tag, rsakey, _ = _der_read_tlv(bits, 1)          # SEQUENCE (RSAPublicKey)
+    tag, n_bytes, pos = _der_read_tlv(rsakey, 0)     # INTEGER n
+    tag2, e_bytes, _ = _der_read_tlv(rsakey, pos)    # INTEGER e
+    if tag != 0x02 or tag2 != 0x02:
+        raise CaptureError("bad public key DER: expected INTEGER n, e")
+    return int.from_bytes(n_bytes, "big"), int.from_bytes(e_bytes, "big")
+
+
+def _mgf1(seed: bytes, length: int) -> bytes:
+    out = b""
+    for i in range((length + 19) // 20):
+        out += hashlib.sha1(seed + i.to_bytes(4, "big")).digest()
+    return out[:length]
+
+
+def rsa_oaep_encrypt(n: int, e: int, msg: bytes, rand=os.urandom) -> bytes:
+    """RSAES-OAEP-ENCRYPT (RFC 8017 §7.1.1) with SHA-1 and an empty label."""
+    k = (n.bit_length() + 7) // 8
+    h_len = 20
+    if len(msg) > k - 2 * h_len - 2:
+        raise CaptureError(f"message too long for {k * 8}-bit RSA-OAEP")
+    l_hash = hashlib.sha1(b"").digest()
+    ps = b"\x00" * (k - len(msg) - 2 * h_len - 2)
+    db = l_hash + ps + b"\x01" + msg
+    seed = rand(h_len)
+    masked_db = bytes(a ^ b for a, b in zip(db, _mgf1(seed, k - h_len - 1)))
+    masked_seed = bytes(a ^ b for a, b in zip(seed, _mgf1(masked_db, h_len)))
+    em = b"\x00" + masked_seed + masked_db
+    return pow(int.from_bytes(em, "big"), e, n).to_bytes(k, "big")
+
+
+def xor_password_scramble(password: bytes, nonce: bytes) -> bytes:
+    """(password + NUL) XOR nonce-cycled — the plaintext mysqld expects
+    INSIDE the RSA envelope (auth.zig:120-127)."""
+    pw = password + b"\x00"
+    return bytes(c ^ nonce[i % len(nonce)] for i, c in enumerate(pw))
 
 
 def scramble_caching_sha2(password: bytes, nonce: bytes) -> bytes:
@@ -277,11 +354,25 @@ class MySQLBinlogClient:
                         # over TLS the cleartext password is the protocol
                         self._send_packet(self.password + b"\x00")
                         continue
-                    raise CaptureError(
-                        "caching_sha2_password full auth requires TLS "
-                        "(plaintext RSA exchange not supported); connect "
-                        "with --ssl or use mysql_native_password"
+                    # plaintext socket: request the server RSA public key
+                    # (0x02), then send the XOR-scrambled password under
+                    # RSA-OAEP — the exchange a real mysqld runs when the
+                    # channel is not encrypted
+                    self._send_packet(b"\x02")
+                    kp = self._read_packet()
+                    if not kp or kp[0] != 0x01:
+                        raise CaptureError(
+                            f"expected AuthMoreData public key, got "
+                            f"{kp[:1]!r}"
+                        )
+                    pub_n, pub_e = parse_rsa_public_pem(bytes(kp[1:]))
+                    self._send_packet(
+                        rsa_oaep_encrypt(
+                            pub_n, pub_e,
+                            xor_password_scramble(self.password, self.greeting.nonce),
+                        )
                     )
+                    continue
             raise CaptureError(f"unexpected auth packet first byte {first!r}")
 
     def query_ok(self, sql: str) -> None:

@@ -10,6 +10,7 @@ EOF).  Single connection per server instance; runs on a daemon thread."""
 
 from __future__ import annotations
 
+import hashlib
 import os
 import socket
 import struct
@@ -83,6 +84,76 @@ _CAPS = (
 )
 
 OK_PACKET = b"\x00\x00\x00\x02\x00\x00\x00"
+
+
+# ---------------------------------------------------------------------------
+# fixed test RSA keypair (1024-bit, generated offline with Miller-Rabin,
+# seed 20260817) for the caching_sha2 plaintext full-auth exchange.  Test
+# fixture only — never a production key.
+# ---------------------------------------------------------------------------
+
+RSA_N = int(
+    "5c29f8ce3cc773d4600eb7645db1125e2916b87ed6a42e93807451e4ca080a94"
+    "e7503c054449751b381025c911d267c603b7865909ca356005a78981a8f14eef"
+    "9cd68c8eb509fd295bd6fd27b42c4cad9194400673ac2641a9aca5ae3439ba37"
+    "96173c41f9c9f9c07c22fb0eb9ec9fcae3dd18cf9a4cc283c5c723ac471900f7", 16
+)
+RSA_E = 65537
+RSA_D = int(
+    "41aa4df173709060928829b642e2f4b94e01383676ebc79ba47c3c150cb52a04"
+    "e9c24ae15dc410c1f1f1df5a216e8e2d915c63467129375a50ed0b95ec2ef213"
+    "ffd1deda135c78a85285e6b89edd0dc6a72c91376fa046c16efbe95919f4fa6d"
+    "d663fc11be78ff4f69ba13d29cda86b1f0619a28bad0c495b665d5fe2e4c73c1", 16
+)
+
+
+def _der_len(n: int) -> bytes:
+    if n < 0x80:
+        return bytes([n])
+    b = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes([0x80 | len(b)]) + b
+
+
+def _der_int(v: int) -> bytes:
+    b = v.to_bytes((v.bit_length() + 7) // 8 or 1, "big")
+    if b[0] & 0x80:
+        b = b"\x00" + b
+    return b"\x02" + _der_len(len(b)) + b
+
+
+def rsa_public_pem(n: int = RSA_N, e: int = RSA_E) -> bytes:
+    """PEM SubjectPublicKeyInfo exactly as mysqld serves it."""
+    import base64
+
+    rsa_key = _der_int(n) + _der_int(e)
+    rsa_seq = b"\x30" + _der_len(len(rsa_key)) + rsa_key
+    bits = b"\x03" + _der_len(len(rsa_seq) + 1) + b"\x00" + rsa_seq
+    # AlgorithmIdentifier: OID 1.2.840.113549.1.1.1 + NULL
+    alg = bytes.fromhex("300d06092a864886f70d0101010500")
+    spki_body = alg + bits
+    spki = b"\x30" + _der_len(len(spki_body)) + spki_body
+    b64 = base64.encodebytes(spki).replace(b"\n", b"")
+    lines = [b64[i : i + 64] for i in range(0, len(b64), 64)]
+    return (
+        b"-----BEGIN PUBLIC KEY-----\n"
+        + b"\n".join(lines)
+        + b"\n-----END PUBLIC KEY-----\n"
+    )
+
+
+def rsa_oaep_decrypt(cipher: bytes, n: int = RSA_N, d: int = RSA_D) -> bytes:
+    """Server-side RSAES-OAEP-DECRYPT (SHA-1, empty label)."""
+    from capture_daemon import _mgf1
+
+    k = (n.bit_length() + 7) // 8
+    em = pow(int.from_bytes(cipher, "big"), d, n).to_bytes(k, "big")
+    assert em[0] == 0, "bad OAEP leading byte"
+    masked_seed, masked_db = em[1:21], em[21:]
+    seed = bytes(a ^ b for a, b in zip(masked_seed, _mgf1(masked_db, 20)))
+    db = bytes(a ^ b for a, b in zip(masked_db, _mgf1(seed, k - 21)))
+    assert db[:20] == hashlib.sha1(b"").digest(), "bad OAEP label hash"
+    sep = db.index(1, 20)
+    return db[sep + 1 :]
 
 
 def _recv_exact(conn: socket.socket, n: int) -> bytes:
@@ -217,6 +288,27 @@ class MockMySQLServer:
             seq, auth = read_packet(conn)
             assert auth == self._expected("mysql_native_password", nonce2), (
                 "bad switched scramble"
+            )
+            send_packet(conn, OK_PACKET, seq + 1)
+        elif plugin == "caching_sha2_password" and self.auth_mode == "full_rsa":
+            # cache miss over a PLAINTEXT socket: the client must request
+            # the server public key (0x02) and send the XOR-scrambled
+            # password under RSA-OAEP — exactly mysqld's exchange
+            from capture_daemon import xor_password_scramble
+
+            assert auth == self._expected(plugin, self.nonce), "bad sha2 scramble"
+            assert not self.tls_established, "full_rsa mode tests the plaintext leg"
+            send_packet(conn, b"\x01\x04", seq + 1)  # full-auth needed
+            try:
+                seq, req = read_packet(conn)
+            except ConnectionError:
+                return
+            assert req == b"\x02", f"expected public-key request, got {req!r}"
+            send_packet(conn, b"\x01" + rsa_public_pem(), seq + 1)
+            seq, cipher = read_packet(conn)
+            scrambled = rsa_oaep_decrypt(bytes(cipher))
+            assert scrambled == xor_password_scramble(self.password, self.nonce), (
+                "bad RSA-OAEP password scramble"
             )
             send_packet(conn, OK_PACKET, seq + 1)
         elif plugin == "caching_sha2_password" and self.auth_mode == "full":

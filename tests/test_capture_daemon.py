@@ -277,19 +277,65 @@ class TestTls:
             c.close()
         assert srv.tls_established
 
-    def test_caching_sha2_full_auth_without_tls_raises(self, tmp_path):
-        # plaintext full-auth needs RSA-OAEP we don't ship — the client
-        # must fail with the documented clear message, not hang or leak
+    def test_caching_sha2_full_auth_plaintext_rsa(self, tmp_path):
+        """Round-5 directive: full auth over a PLAINTEXT socket via the
+        server-public-key RSA-OAEP exchange (0x02 request → PEM key →
+        XOR-scrambled password under OAEP/SHA-1) — the last wire-protocol
+        gap.  The mock decrypts with the matching private key and verifies
+        the scramble byte-for-byte."""
         with MockMySQLServer(
-            password="pw", plugin="caching_sha2_password", auth_mode="full",
-            ssl_ctx=None,
+            password="s3cret!", plugin="caching_sha2_password",
+            auth_mode="full_rsa", ssl_ctx=None,
         ) as srv:
-            # make the mock skip its TLS assertion: patch established flag
-            srv.tls_established = True
-            c = MySQLBinlogClient("127.0.0.1", srv.port, "repl", "pw")
-            with pytest.raises(CaptureError, match="requires TLS"):
-                c.connect()
+            c = MySQLBinlogClient("127.0.0.1", srv.port, "repl", "s3cret!")
+            c.connect()
+            assert list(c.dump()) == []
             c.close()
+            assert srv.error is None
+        assert not srv.tls_established
+
+
+class TestRsaOaep:
+    """Unit coverage of the RFC 8017 pieces the plaintext full-auth uses."""
+
+    def test_pem_parse_roundtrip(self):
+        from capture_daemon import parse_rsa_public_pem
+        from mock_mysql_server import RSA_E, RSA_N, rsa_public_pem
+
+        n, e = parse_rsa_public_pem(rsa_public_pem())
+        assert (n, e) == (RSA_N, RSA_E)
+
+    def test_oaep_encrypt_decrypt(self):
+        from capture_daemon import rsa_oaep_encrypt
+        from mock_mysql_server import RSA_E, RSA_N, rsa_oaep_decrypt
+
+        for msg in (b"", b"x", b"password\x00scramble", bytes(range(60))):
+            assert rsa_oaep_decrypt(rsa_oaep_encrypt(RSA_N, RSA_E, msg)) == msg
+
+    def test_oaep_is_randomized(self):
+        from capture_daemon import rsa_oaep_encrypt
+        from mock_mysql_server import RSA_E, RSA_N
+
+        a = rsa_oaep_encrypt(RSA_N, RSA_E, b"m")
+        b = rsa_oaep_encrypt(RSA_N, RSA_E, b"m")
+        assert a != b  # fresh seed per encryption (RFC 8017 §7.1.1 step 2d)
+
+    def test_oaep_message_too_long(self):
+        from capture_daemon import rsa_oaep_encrypt
+        from mock_mysql_server import RSA_E, RSA_N
+
+        with pytest.raises(CaptureError, match="too long"):
+            rsa_oaep_encrypt(RSA_N, RSA_E, bytes(128 - 2 * 20 - 1))
+
+    def test_xor_scramble_cycles_nonce(self):
+        from capture_daemon import xor_password_scramble
+
+        nonce = bytes(range(1, 21))
+        out = xor_password_scramble(b"p" * 45, nonce)
+        assert len(out) == 46  # password + NUL
+        assert out[0] == ord("p") ^ 1
+        assert out[20] == ord("p") ^ 1  # nonce repeats past 20 bytes
+        assert out[45] == 0 ^ nonce[45 % 20]
 
 
 class TestGtidResume:
