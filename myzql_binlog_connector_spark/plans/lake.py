@@ -97,12 +97,21 @@ class BucketedLakeTable:
         n_buckets: int = 64,
         max_files_per_bucket: int = 8,
         aligned_writes: bool = False,
+        hot_bucket_split_rows: int = 1 << 18,
     ):
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
         self.max_files_per_bucket = max_files_per_bucket
+        # a bucket whose batch row count exceeds BOTH 3x the dirty-bucket
+        # mean and this floor is "hot": its write is salt-split across
+        # multiple tasks (files still land in the one _bucket=b directory)
+        # and the hot set is recorded in lineage.  Guards the one skew the
+        # pmod(hash(keys)) layout can't dodge: value skew concentrating a
+        # batch in few buckets (e.g. a single-column key with a viral key,
+        # or unlucky hash clustering).
+        self.hot_bucket_split_rows = hot_bucket_split_rows
         # aligned_writes: merge with ONE shuffle by repartitioning on the
         # keys into exactly n_buckets partitions (Murmur3 pmod n_buckets ==
         # the bucket function, so partition i IS bucket i and the
@@ -413,6 +422,15 @@ class BucketedLakeTable:
             ]
         n_changes = int(sum(c for _b, c in bucket_stats))
         dirty = sorted(b for b, _c in bucket_stats)
+        mean_rows = n_changes / max(1, len(dirty))
+        hot = {
+            int(b): int(c)
+            for b, c in bucket_stats
+            if c >= 3 * mean_rows and c > self.hot_bucket_split_rows
+        }
+        hot_splits = {
+            b: min(32, -(-c // self.hot_bucket_split_rows)) for b, c in hot.items()
+        }
         old_files = (m or {}).get("files", {})
 
         # --- merge-on-read append: batch-reduce, then write ONLY the batch --
@@ -432,7 +450,12 @@ class BucketedLakeTable:
         # small batches (streaming micro-batches): the bucket-aligned plan
         # would spawn n_buckets near-empty write tasks; a cheap second
         # shuffle over the few dirty buckets wins there
-        aligned = self.aligned_writes and n_changes >= self.n_buckets * 512
+        # hot batches drop out of the aligned plan: partition i == bucket i
+        # means a hot bucket IS one giant task there, and the alignment
+        # trick can't salt within a partition
+        aligned = (
+            self.aligned_writes and n_changes >= self.n_buckets * 512 and not hot
+        )
         if aligned:
             reduced = (
                 changes.repartition(
@@ -449,8 +472,32 @@ class BucketedLakeTable:
                 .agg(F.max_by(row_struct, ord_struct).alias("_row"))
                 .select("_row.*")
                 .withColumn("_bucket", bucket_expr)
-                .repartition(max(len(dirty), 1), "_bucket")
             )
+            if hot_splits:
+                # split each hot bucket's write across ~count/split_rows
+                # tasks: a per-key salt (different hash seed than the
+                # bucket fn) fans its rows over extra partitions; files
+                # still land under the single _bucket=b directory, and
+                # readers/manifest already handle multi-file buckets
+                salt_col = F.lit(0)
+                for b, nsplit in hot_splits.items():
+                    salt_col = F.when(
+                        F.col("_bucket") == b,
+                        F.pmod(
+                            F.hash(
+                                *[F.col(c) for c in self.key_cols], F.lit(21557)
+                            ),
+                            F.lit(nsplit),
+                        ),
+                    ).otherwise(salt_col)
+                extra = sum(n - 1 for n in hot_splits.values())
+                reduced = (
+                    reduced.withColumn("_salt", salt_col)
+                    .repartition(max(len(dirty) + extra, 1), "_bucket", "_salt")
+                    .drop("_salt")
+                )
+            else:
+                reduced = reduced.repartition(max(len(dirty), 1), "_bucket")
 
         version = (m["version"] + 1) if m else 1
         out_dir = os.path.join(self.path, "data", f"v{version}")
@@ -514,6 +561,7 @@ class BucketedLakeTable:
             # this version — read_changes() serves downstream incremental
             # consumers straight from them, no extra changelog copy
             "delta_files": delta_files,
+            "hot_buckets": {str(b): c for b, c in sorted(hot.items())[:16]},
             "schema_evolution": evolution,
             "wall_ms": round((time.monotonic() - t0) * 1000, 2),
             **(extra_lineage or {}),

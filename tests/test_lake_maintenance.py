@@ -487,3 +487,72 @@ class TestConcurrentWriterGuard:
         m = t._read_manifest()
         with _pytest.raises(ConcurrentWriteError):
             t._commit(m)  # same version again
+
+
+class TestHotBucketSkew:
+    """Round-5 directive: value skew that concentrates a batch in one
+    bucket must not serialize into one giant write task — the hot bucket's
+    write is salt-split across tasks (files still under one _bucket=b
+    directory) and the hot set is recorded in lineage."""
+
+    def test_hot_bucket_salt_split_and_lineage(self, spark, tmp_path):
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        n_buckets = 8
+        # find keys that hash into one bucket (computed with the engine's
+        # own bucket function, so the test can't drift from it)
+        keys = spark.createDataFrame(
+            [(i,) for i in range(4000)], "k bigint"
+        ).withColumn("b", F.pmod(F.hash("k"), F.lit(n_buckets)))
+        by_bucket: dict[int, list[int]] = {}
+        for r in keys.collect():
+            by_bucket.setdefault(r.b, []).append(r.k)
+        hot_b = max(by_bucket, key=lambda b: len(by_bucket[b]))
+        hot_keys = by_bucket[hot_b][:400]
+        cold_keys = [ks[0] for b, ks in by_bucket.items() if b != hot_b]
+        assert len(hot_keys) == 400 and len(cold_keys) >= 5
+
+        rows = [(k, f"v{k}", False, 1, 0, 1) for k in hot_keys + cold_keys]
+        df = spark.createDataFrame(
+            rows,
+            "k bigint, val string, _deleted boolean, _gtid bigint, "
+            "_event_seq bigint, _event_row_index bigint",
+        )
+        t = BucketedLakeTable(
+            spark, str(tmp_path / "t"), ["k"], n_buckets=n_buckets,
+            hot_bucket_split_rows=100,  # tiny floor so 400 rows count as hot
+        )
+        rec = t.merge(df, batch_id=0)
+
+        # lineage records the hot set with its pre-reduce row count
+        assert rec["hot_buckets"] == {str(hot_b): 400}
+        # the hot bucket's write fanned out over multiple tasks: >= 2 part
+        # files under its single directory; cold buckets stay single-file
+        files = t.snapshot_manifest()["files"]
+        assert len(files[str(hot_b)]) >= 2, files[str(hot_b)]
+        for b, ks in by_bucket.items():
+            if b != hot_b:
+                assert len(files[str(b)]) <= 1
+        # correctness unchanged: all keys present, LWW intact
+        assert t.read().count() == len(rows)
+        got = {r.k for r in t.read().select("k").collect()}
+        assert got == set(hot_keys) | set(cold_keys)
+
+    def test_no_false_hot_on_uniform_batch(self, spark, tmp_path):
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        df = _mk_changes(
+            spark, [(f"c{i}", 0, f"v{i}", 1, False) for i in range(200)]
+        )
+        t = BucketedLakeTable(
+            spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=8,
+            hot_bucket_split_rows=100,
+        )
+        rec = t.merge(df, batch_id=0)
+        assert rec["hot_buckets"] == {}
+        for fl in t.snapshot_manifest()["files"].values():
+            assert len(fl) <= 1
