@@ -293,56 +293,81 @@ KMEANS_ITERS = 2
 KMEANS_OVERSAMPLE = 8
 
 
+#: hard ceiling on the k-means training sample collected to the driver —
+#: same guard style as the ANN probe cap.  200k x 64 float32 = ~50 MB.
+KMEANS_TRAIN_CAP = 200_000
+
+
 def _kmeans_centroids(corpus, stride, id_col, vec_col, dims):
-    """Sampled-Lloyd centroids as a (tiny) DataFrame: (_cid, _cvec, _cnrm).
+    """Sampled-Lloyd centroids as a (tiny) literal DataFrame:
+    (_cid, _cvec, _cnrm).
 
     Replaces the round-4 strided stand-in (every stride-th VECTOR as a
     centroid) which risked wildly unbalanced cells at 10^9 vectors —
     centroids now move to the mean of their sample cell, so dense regions
-    get tighter centroids.  Training runs over a strided SAMPLE
-    (KMEANS_OVERSAMPLE x centroid count), not the corpus: at 10^9 vectors
-    the train set is still stride/8 of it, all broadcast-sized.  A centroid
-    whose sample cell goes empty drops out (same semantics in the SQL
-    mirror)."""
+    get tighter centroids.
+
+    Training is DRIVER-side numpy over a bounded strided sample — the
+    standard IVF architecture (FAISS trains on a sample single-node): the
+    train set is KMEANS_OVERSAMPLE x the centroid count, capped at
+    KMEANS_TRAIN_CAP rows (raises with a pick-a-larger-stride message,
+    never silently truncates).  A plan-side formulation (broadcast join +
+    64 avg aggregates per Lloyd pass) was tried first and spent ~5 s in
+    Catalyst codegen for 400 sample rows — the training data is
+    microscopic next to its query plan.  The numpy schedule mirrors the
+    DuckDB oracle exactly: sims via the sequential dimension fold
+    (:func:`_seq_rowdot` shape) rounded to 4 dp with smallest-cid
+    tie-breaks, means rounded to 6 dp (cell populations are small, so
+    cross-engine float-sum-order differences sit ~1e-15, far below the
+    rounding grid); empty cells drop out."""
     samp_stride = max(1, stride // KMEANS_OVERSAMPLE)
-    sample = corpus.filter((F.col(id_col) % samp_stride) == 0).select(
-        F.col(id_col).alias("_sid"), F.col(vec_col).alias("_svec")
+    spark = corpus.sparkSession
+    strided = corpus.filter((F.col(id_col) % samp_stride) == 0).select(
+        id_col, vec_col
     )
-    cents = corpus.filter((F.col(id_col) % stride) == 0).select(
-        F.col(id_col).alias("_cid"),
-        F.col(vec_col).cast("array<double>").alias("_cvec"),
+    n_sample = strided.count()
+    if n_sample > KMEANS_TRAIN_CAP:
+        raise ValueError(
+            f"k-means training sample is {n_sample} rows (> cap "
+            f"{KMEANS_TRAIN_CAP}); raise `stride` so corpus/"
+            f"{samp_stride} fits the driver-side trainer"
+        )
+    sample = strided.collect()
+    seeds = sorted(
+        corpus.filter((F.col(id_col) % stride) == 0)
+        .select(id_col, vec_col)
+        .collect(),
+        key=lambda r: r[0],
     )
+    S = np.array([list(r[1]) for r in sample], dtype=np.float64)
+    snrm = np.sqrt(_seq_rowdot(S, S))
+    cids = [int(r[0]) for r in seeds]
+    C = np.array([list(r[1]) for r in seeds], dtype=np.float64)
     for _ in range(KMEANS_ITERS):
-        cn = cents.withColumn("_cnrm", norm_arrow(F.col("_cvec"), dims))
-        sn = sample.withColumn("_snrm", norm_arrow(F.col("_svec"), dims))
-        sim = F.round(
-            dot_arrow(F.col("_svec"), F.col("_cvec"), dims)
-            / (F.col("_snrm") * F.col("_cnrm")),
-            4,
-        )
-        scored = sn.join(F.broadcast(cn)).select(
-            "_sid", "_svec", F.col("_cid"), sim.alias("_csim")
-        )
-        best = F.max_by(
-            F.struct(F.col("_svec"), F.col("_cid")),
-            F.struct(F.col("_csim"), -F.col("_cid")),
-        )
-        asg = scored.groupBy("_sid").agg(best.alias("_r")).select(
-            F.col("_r._cid").alias("_cell"), F.col("_r._svec").alias("_svec")
-        )
-        cents = asg.groupBy("_cell").agg(
-            *[
-                F.round(
-                    F.avg(F.element_at(F.col("_svec"), j + 1).cast("double")), 6
-                ).alias(f"_e{j}")
-                for j in range(dims)
-            ]
-        ).select(
-            F.col("_cell").alias("_cid"),
-            F.array(*[F.col(f"_e{j}") for j in range(dims)]).alias("_cvec"),
-        )
-    return cents.select(
-        "_cid", "_cvec", norm_arrow(F.col("_cvec"), dims).alias("_cnrm")
+        cnrm = np.sqrt(_seq_rowdot(C, C))
+        # (n, K) sims with the sequential dimension fold, rounded to 4dp;
+        # argmax returns the FIRST max and columns are cid-ascending, so
+        # ties break to the smallest cid — the oracle's ORDER BY
+        acc = np.zeros((S.shape[0], C.shape[0]), dtype=np.float64)
+        for j in range(dims):
+            acc = acc + S[:, j, None] * C[None, :, j]
+        sims = np.round(acc / (snrm[:, None] * cnrm[None, :]), 4)
+        cell = np.argmax(sims, axis=1)
+        new_cids, new_C = [], []
+        for ci in range(C.shape[0]):
+            mask = cell == ci
+            if mask.any():
+                new_cids.append(cids[ci])
+                new_C.append(np.round(S[mask].mean(axis=0), 6))
+        cids = new_cids
+        C = np.asarray(new_C, dtype=np.float64)
+    cnrm = np.sqrt(_seq_rowdot(C, C))
+    return spark.createDataFrame(
+        [
+            (int(cid), [float(x) for x in vec], float(nr))
+            for cid, vec, nr in zip(cids, C, cnrm)
+        ],
+        "_cid bigint, _cvec array<double>, _cnrm double",
     )
 
 
