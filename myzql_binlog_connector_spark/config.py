@@ -4,7 +4,10 @@ The reference validates a JSON config (/root/reference/src/config.zig:97-127,
 validation :192-269): connection, binlog position range, output mode, batch
 size, queue capacity, table include/exclude.  The engine's equivalents:
 
-  host/port/auth/ssl    → n/a (source is a segment store, not a socket)
+  host/port/auth/ssl    → accepted verbatim (round 5): carried as capture
+                          connection fields for scripts/capture_daemon.py;
+                          a config with `host` and no `segments_path`
+                          describes a capture source
   from_binlog_file/pos  → from_position (file_seq, pos) — inclusive
   to_binlog_file/pos    → to_position (file_seq, pos) — exclusive, events at
                           log_pos >= to excluded (binlog_reader.zig:443-455)
@@ -33,9 +36,9 @@ class ConfigError(ValueError):
 
 @dataclass
 class ReplayConfig:
-    segments_path: str
+    segments_path: str | None = None
     table_path: str | None = None
-    output_mode: str = "apply"  # apply | envelope
+    output_mode: str = "apply"  # apply | envelope | stdout
     from_position: tuple[int, int] | None = None
     to_position: tuple[int, int] | None = None
     include_tables: list[str] = field(default_factory=list)
@@ -48,10 +51,27 @@ class ReplayConfig:
         default_factory=lambda: ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     )
     key_positions: tuple[int, ...] = (0, 1)
+    # capture-connection fields (reference config surface, accepted
+    # verbatim): used by scripts/capture_daemon.py when the source is a
+    # live server rather than a segment store
+    host: str | None = None
+    port: int = 3306
+    user: str | None = None
+    password: str = ""
+    database: str | None = None
+    ssl: bool = False
+    parquet_output_dir: str | None = None
+    log_level: str | None = None
+    log_file: str | None = None
 
     def __post_init__(self):
-        if self.output_mode not in ("apply", "envelope"):
+        if self.output_mode not in ("apply", "envelope", "stdout"):
             raise ConfigError(f"invalid output_mode: {self.output_mode!r}")
+        if self.segments_path is None and self.host is None:
+            raise ConfigError(
+                "config needs a source: segments_path (segment store) or "
+                "host (live capture)"
+            )
         if self.arrow_batch_rows <= 0:
             raise ConfigError("arrow_batch_rows must be positive")
         if self.n_buckets <= 0:
@@ -95,6 +115,21 @@ class ReplayConfig:
 
         from_pos = pos("from")
         to_pos = pos("to")
+        # reference key spellings (config.zig), accepted verbatim so the
+        # reference's own config.example.json / config.parquet.json /
+        # config.docker-ssl.json load unmodified
+        aliases = {
+            "include": "include_tables",
+            "exclude": "exclude_tables",
+            "parquet_batch_size": "arrow_batch_rows",
+            "pipeline_queue_capacity": "max_files_per_trigger",
+        }
+        for src, dst in aliases.items():
+            if src in raw:
+                raw[dst] = raw.pop(src)
+        if raw.get("output_mode") == "parquet":
+            # the reference's parquet mode IS the envelope change log
+            raw["output_mode"] = "envelope"
         known = {k: v for k, v in raw.items() if k in cls.__dataclass_fields__}
         unknown = set(raw) - set(known)
         if unknown:
@@ -111,7 +146,12 @@ def run_replay(spark, config: ReplayConfig):
     from .streaming.replay import BinlogReplayStream
 
     tf = config.table_filter()
-    if config.output_mode == "envelope":
+    if config.segments_path is None:
+        raise ConfigError(
+            "run_replay needs segments_path; a capture config (host set) "
+            "drives scripts/capture_daemon.py instead"
+        )
+    if config.output_mode in ("envelope", "stdout"):
         from pyspark.sql import functions as F
 
         from .functions.decode import decode_changes
@@ -131,6 +171,10 @@ def run_replay(spark, config: ReplayConfig):
                     F.col("file_seq"), F.col("log_pos"), *config.from_position
                 )
             )
+        if config.output_mode == "stdout":
+            env.show(50, truncate=False)  # reference stdout sink (S5)
+        elif config.parquet_output_dir:
+            env.write.mode("overwrite").parquet(config.parquet_output_dir)
         return [], env
 
     table = BucketedLakeTable(

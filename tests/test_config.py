@@ -83,3 +83,90 @@ class TestRunReplay:
         _, env = run_replay(spark, cfg)
         assert env.count() > 0
         assert "after_values" in env.columns
+
+
+class TestReferenceConfigVerbatim:
+    """Round-5: the reference's own shipped config files load unmodified
+    (key spellings from config.zig; /root/reference/config.example.json
+    et al).  The connection keys carry through for the capture daemon; the
+    replay keys map onto the engine's equivalents."""
+
+    EXAMPLE = {
+        "host": "127.0.0.1",
+        "port": 3306,
+        "user": "repl_user",
+        "password": "",
+        "database": "mysql",
+        "from_binlog_file": "binlog.000001",
+        "from_binlog_position": 4,
+        "to_binlog_file": "binlog.000002",
+        "to_binlog_position": 12345678,
+        "exclude": ["excluded_schema.*", "*.excluded_table"],
+        "output_mode": "parquet",
+        "parquet_output_dir": "./parquet_output",
+        "parquet_batch_size": 8192,
+    }
+
+    def test_example_config_loads(self):
+        import json as _json
+
+        from myzql_binlog_connector_spark.config import ReplayConfig
+
+        cfg = ReplayConfig.from_json(_json.dumps(self.EXAMPLE))
+        assert cfg.host == "127.0.0.1" and cfg.user == "repl_user"
+        assert cfg.from_position == (1, 4)
+        assert cfg.to_position == (2, 12345678)
+        assert cfg.exclude_tables == ["excluded_schema.*", "*.excluded_table"]
+        assert cfg.output_mode == "envelope"  # reference 'parquet' mode
+        assert cfg.arrow_batch_rows == 8192
+        assert cfg.parquet_output_dir == "./parquet_output"
+
+    def test_docker_ssl_config_loads(self):
+        import json as _json
+
+        from myzql_binlog_connector_spark.config import ReplayConfig
+
+        raw = dict(self.EXAMPLE, ssl=True, log_level="debug",
+                   log_file="run.log", port=23306)
+        raw.pop("exclude")
+        cfg = ReplayConfig.from_json(_json.dumps(raw))
+        assert cfg.ssl is True and cfg.port == 23306
+        assert cfg.log_level == "debug"
+
+    def test_actual_reference_files_if_present(self):
+        import os
+
+        from myzql_binlog_connector_spark.config import ReplayConfig
+
+        ref = "/root/reference"
+        if not os.path.isdir(ref):
+            import pytest
+
+            pytest.skip("reference checkout not present")
+        for name in ("config.example.json", "config.parquet.json",
+                     "config.docker-ssl.json"):
+            cfg = ReplayConfig.from_json(os.path.join(ref, name))
+            assert cfg.host and cfg.output_mode == "envelope"
+
+    def test_sourceless_config_rejected(self):
+        import pytest
+
+        from myzql_binlog_connector_spark.config import ConfigError, ReplayConfig
+
+        with pytest.raises(ConfigError, match="source"):
+            ReplayConfig(output_mode="envelope")
+
+    def test_run_replay_requires_segment_store(self, spark):
+        import json as _json
+
+        import pytest
+
+        from myzql_binlog_connector_spark.config import (
+            ConfigError,
+            ReplayConfig,
+            run_replay,
+        )
+
+        cfg = ReplayConfig.from_json(_json.dumps(self.EXAMPLE))
+        with pytest.raises(ConfigError, match="segments_path"):
+            run_replay(spark, cfg)
