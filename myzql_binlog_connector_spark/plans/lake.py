@@ -98,6 +98,7 @@ class BucketedLakeTable:
         max_files_per_bucket: int = 8,
         aligned_writes: bool = False,
         hot_bucket_split_rows: int = 1 << 18,
+        codec: str = "snappy",
     ):
         self.spark = spark
         self.path = path
@@ -112,6 +113,11 @@ class BucketedLakeTable:
         # batch in few buckets (e.g. a single-column key with a viral key,
         # or unlucky hash clustering).
         self.hot_bucket_split_rows = hot_bucket_split_rows
+        # hot merge-on-read table: snappy (Delta's default) — decode speed
+        # dominates read cost and merge wall-time beats ~1.5x file size on
+        # a CDC-applied table that compaction rewrites anyway.  Archives
+        # that want zstd pass codec="zstd".
+        self.codec = codec
         # aligned_writes: merge with ONE shuffle by repartitioning on the
         # keys into exactly n_buckets partitions (Murmur3 pmod n_buckets ==
         # the bucket function, so partition i IS bucket i and the
@@ -503,6 +509,7 @@ class BucketedLakeTable:
         out_dir = os.path.join(self.path, "data", f"v{version}")
         (
             reduced.write.mode("overwrite")
+            .option("compression", self.codec)
             .partitionBy("_bucket")
             .parquet(out_dir)
         )
@@ -535,6 +542,7 @@ class BucketedLakeTable:
                 fold_df.withColumn("_bucket", bucket_expr)
                 .repartition(len(folded), "_bucket")
                 .write.mode("overwrite")
+                .option("compression", self.codec)
                 .partitionBy("_bucket")
                 .parquet(fold_dir)
             )
@@ -641,7 +649,9 @@ class BucketedLakeTable:
         )
         version = m["version"] + 1
         out_dir = os.path.join(self.path, "data", f"v{version}")
-        df.repartition(len(targets), "_bucket").write.mode("overwrite").partitionBy(
+        df.repartition(len(targets), "_bucket").write.mode("overwrite").option(
+            "compression", self.codec
+        ).partitionBy(
             "_bucket"
         ).parquet(out_dir)
         files = dict(old_files)
