@@ -562,7 +562,6 @@ def scan_schemas(events_df: DataFrame) -> DataFrame:
 
     from ..binlog.constants import CRC_LEN, HEADER_LEN, EventType
     from ..binlog.decoder import parse_table_map
-    from ..binlog.wire import parse_header
 
     if "event_type" in events_df.columns:
         events_df = events_df.filter(
@@ -570,24 +569,34 @@ def scan_schemas(events_df: DataFrame) -> DataFrame:
         ).select("event_blob")
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        seen: set[str] = set()
+        seen: set[bytes] = set()
         rows: list[tuple[str, str, str]] = []
         for batch in batches:
             blobs = _blob_views(batch.column("event_blob"))
             for i in range(batch.num_rows):
                 blob = blobs[i]
-                body = blob[1 : len(blob) - CRC_LEN]
-                if parse_header(body).event_type != EventType.TABLE_MAP:
+                # binlogs re-announce TABLE_MAP before every statement's
+                # ROWS events, so a segment store carries ~1 per statement
+                # (hundreds of thousands); identical schemas have
+                # byte-identical payloads past the 6B table_id + 2B flags.
+                # Dedupe on those raw bytes FIRST — a set-add per event —
+                # and run the actual parse only once per distinct schema
+                # (was: full parse_table_map per event, ~5x the cost of
+                # the whole pre-pass)
+                if blob[5] != EventType.TABLE_MAP:
+                    continue  # byte 5 = event_type; keeps the dedup set
+                    # TABLE_MAP-only when the source lacks the pushdown col
+                raw_key = bytes(blob[1 + HEADER_LEN + 8 : len(blob) - CRC_LEN])
+                if raw_key in seen:
                     continue
+                seen.add(raw_key)
+                body = blob[1 : len(blob) - CRC_LEN]
                 _tid, schema = parse_table_map(body[HEADER_LEN:])
                 desc = _json.dumps(
                     [[c.type_code, c.meta, int(c.nullable)] for c in schema.columns],
                     separators=(",", ":"),
                 )
-                key = f"{schema.database}|{schema.table}|{desc}"
-                if key not in seen:
-                    seen.add(key)
-                    rows.append((schema.database, schema.table, desc))
+                rows.append((schema.database, schema.table, desc))
         if rows:
             yield pa.RecordBatch.from_pydict(
                 {
