@@ -38,6 +38,16 @@ _COLUMN_KINDS = {
         ColumnSpec(ColumnType.TIMESTAMP2, 6),
         st.integers(1, 2_000_000_000) .map(lambda s: s * 1_000_000 + s % 1_000_000),
     ),
+    # odd fsp exercises the 2-digit-unit fraction storage (round-5 fix:
+    # was decoding 10x too large on every path)
+    "ts2_f1": (
+        ColumnSpec(ColumnType.TIMESTAMP2, 1),
+        st.integers(1, 2_000_000_000).map(lambda s: s * 1_000_000 + (s % 10) * 100_000),
+    ),
+    "ts2_f3": (
+        ColumnSpec(ColumnType.TIMESTAMP2, 3),
+        st.integers(1, 2_000_000_000).map(lambda s: s * 1_000_000 + (s % 1000) * 1_000),
+    ),
     "blob": (ColumnSpec(ColumnType.BLOB, 2), st.binary(max_size=40)),
     "decimal": (
         ColumnSpec(ColumnType.NEWDECIMAL, (12 << 8) | 4),
