@@ -120,16 +120,29 @@ def bench_cdc_replay(spark, sf_tag: str, n_buckets: int = 32) -> dict:
             TranscriptsApplier(spark, wt, salt=None).apply_files(paths[:2], batch_id=0)
         finally:
             shutil.rmtree(warm_dir, ignore_errors=True)
-        t0 = time.monotonic()
-        table = BucketedLakeTable(
-            spark, table_dir, ["conv_id", "turn_idx"], n_buckets=n_buckets
-        )
-        applier = TranscriptsApplier(spark, table, salt=None)
-        rec = applier.apply_files(paths, batch_id=0)
-        n_final = table.read().count()
-        wall = time.monotonic() - t0
+        # best-of-2 with BOTH trials published — the same policy
+        # scripts/scaling_bench.py documents in BENCH/BASELINE.md: the
+        # sandbox is a shared VM with ±15-50% hour-to-hour host noise, so a
+        # single timed pass measures the window as much as the engine.
+        trials = []
+        rec = n_final = None
+        for _ in range(2):
+            run_dir = scratch_dir("bench_lake_run_")
+            try:
+                t0 = time.monotonic()
+                table = BucketedLakeTable(
+                    spark, run_dir, ["conv_id", "turn_idx"], n_buckets=n_buckets
+                )
+                applier = TranscriptsApplier(spark, table, salt=None)
+                rec = applier.apply_files(paths, batch_id=0)
+                n_final = table.read().count()
+                trials.append(round(time.monotonic() - t0, 3))
+            finally:
+                shutil.rmtree(run_dir, ignore_errors=True)
+        wall = min(trials)
         return {
-            "sec": round(wall, 3),
+            "sec": wall,
+            "trials": trials,
             "change_rows": n_ops,
             "rows_per_sec": round(n_ops / wall, 1),
             "final_rows": n_final,
