@@ -132,6 +132,21 @@ def _mat(s, dims: int):
     if not n:
         return np.empty((0, dims), dtype=np.float64)
     v = s.to_numpy()
+    # Exact raggedness gate (round-6 ADVICE): pointer anchors alone can be
+    # fooled by compensating row lengths (63 then 65 realigns by the next
+    # anchor), and a ragged column whose total length happens to equal
+    # n*dims would reshape silently in the fallback.  One C-speed pass over
+    # ``len`` closes both holes; with lengths proven uniform, Arrow's
+    # monotonic list offsets mean the anchor checks below can no longer be
+    # spoofed (gaps are non-negative, and the n-1 anchor pins their sum to
+    # zero).
+    lens = np.fromiter(map(len, v), dtype=np.int64, count=n)
+    if not (lens == dims).all():
+        bad = np.unique(lens[lens != dims])[:5]
+        raise ValueError(
+            f"ragged embedding column: expected uniform length {dims}, "
+            f"found rows of length {bad.tolist()}"
+        )
     e0 = v[0]
     if isinstance(e0, np.ndarray) and e0.ndim == 1 and len(e0) == dims:
         base = e0.base

@@ -506,7 +506,16 @@ class BucketedLakeTable:
                 reduced = reduced.repartition(max(len(dirty), 1), "_bucket")
 
         version = (m["version"] + 1) if m else 1
-        out_dir = os.path.join(self.path, "data", f"v{version}")
+        # Writer-unique data dir: two racers both computing version N must
+        # never share a directory — mode("overwrite") from the loser would
+        # otherwise delete the winner's already-committed parquet files if
+        # its write lands after the winner's commit.  The manifest records
+        # absolute file paths, so readers never depend on the dir name, and
+        # vacuum reclaims a loser's orphaned dir (unreferenced by any
+        # retained manifest).
+        out_dir = os.path.join(
+            self.path, "data", f"v{version}-{uuid.uuid4().hex[:8]}"
+        )
         (
             reduced.write.mode("overwrite")
             .option("compression", self.codec)
@@ -537,7 +546,9 @@ class BucketedLakeTable:
         if folded:
             fold_files = [p for b in folded for p in new_files[str(b)]]
             fold_df = self._lww(self._read_files(fold_files, schema_json), schema)
-            fold_dir = os.path.join(self.path, "data", f"v{version}_fold")
+            fold_dir = os.path.join(
+                self.path, "data", f"v{version}_fold-{uuid.uuid4().hex[:8]}"
+            )
             (
                 fold_df.withColumn("_bucket", bucket_expr)
                 .repartition(len(folded), "_bucket")
@@ -648,7 +659,11 @@ class BucketedLakeTable:
             F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)),
         )
         version = m["version"] + 1
-        out_dir = os.path.join(self.path, "data", f"v{version}")
+        # writer-unique dir — same race rationale as merge(): a losing
+        # compactor's overwrite must never delete a winner's committed files
+        out_dir = os.path.join(
+            self.path, "data", f"v{version}-{uuid.uuid4().hex[:8]}"
+        )
         df.repartition(len(targets), "_bucket").write.mode("overwrite").option(
             "compression", self.codec
         ).partitionBy(

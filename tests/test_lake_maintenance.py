@@ -4,6 +4,7 @@ incremental compaction that only touches selected buckets."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -471,6 +472,60 @@ class TestConcurrentWriterGuard:
         assert max(t3.versions()) == int(
             open(f"{path}/_manifests/LATEST").read().strip()
         )
+
+    def test_loser_data_write_after_winner_commit(self, spark, tmp_path):
+        """The hostile ordering (round-6 ADVICE): the loser reads a stale
+        manifest, the winner fully merges AND commits version N, and only
+        then does the loser write its data for the same version N.  With a
+        shared data/vN dir the loser's mode("overwrite") would delete the
+        winner's committed parquet files before the CAS even fires; with
+        writer-unique dirs the winner's files must survive intact."""
+        import pytest as _pytest
+
+        from myzql_binlog_connector_spark.plans.lake import (
+            BucketedLakeTable,
+            ConcurrentWriteError,
+        )
+
+        path = str(tmp_path / "t")
+        t1 = BucketedLakeTable(spark, path, ["conv_id", "turn_idx"], n_buckets=4)
+        t1.merge(_mk_changes(spark, [("c1", 0, "base", 1, False)]), batch_id=0)
+
+        t2 = BucketedLakeTable(spark, path, ["conv_id", "turn_idx"], n_buckets=4)
+        orig_read = BucketedLakeTable._read_manifest
+        fired = {}
+
+        def stale_read(self_t, version=None):
+            m = orig_read(self_t, version)
+            if self_t is t2 and version is None and not fired:
+                fired["x"] = True
+                # winner lands its whole merge (data write + commit) while
+                # the loser still holds the stale manifest
+                t1.merge(
+                    _mk_changes(spark, [("c1", 0, "winner", 5, False)]),
+                    batch_id=1,
+                )
+            return m
+
+        t2._read_manifest = stale_read.__get__(t2)
+        with _pytest.raises(ConcurrentWriteError):
+            t2.merge(_mk_changes(spark, [("c1", 0, "loser", 4, False)]), batch_id=1)
+
+        # every file the winner's manifest references must still exist —
+        # the loser's data write must not have clobbered them
+        t3 = BucketedLakeTable(spark, path, ["conv_id", "turn_idx"], n_buckets=4)
+        m = t3._read_manifest()
+        for fl in m["files"].values():
+            for p in fl:
+                assert os.path.exists(p), f"winner's committed file deleted: {p}"
+        rows = {(r.conv_id, r.turn_idx): r.text for r in t3.read().collect()}
+        assert rows == {("c1", 0): "winner"}
+        # and vacuum reclaims the loser's orphaned dir
+        t3.merge(_mk_changes(spark, [("c2", 0, "y", 1, False)]), batch_id=2)
+        res = t3.vacuum(retain_last=10)
+        assert res["removed_files"] > 0  # the loser's orphans
+        rows = {(r.conv_id, r.turn_idx): r.text for r in t3.read().collect()}
+        assert rows == {("c1", 0): "winner", ("c2", 0): "y"}
 
     def test_commit_same_version_direct(self, spark, tmp_path):
         import pytest as _pytest
