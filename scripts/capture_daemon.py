@@ -243,6 +243,7 @@ class MySQLBinlogClient:
         timeout: float = 30.0,
         use_ssl: bool = False,
         ssl_context: "_ssl.SSLContext | None" = None,
+        server_public_key: "str | bytes | None" = None,
     ):
         self.host, self.port = host, port
         self.user, self.password = user, password.encode()
@@ -250,6 +251,17 @@ class MySQLBinlogClient:
         self.timeout = timeout
         self.use_ssl = use_ssl
         self.ssl_context = ssl_context
+        # Pinned server RSA public key for the plaintext caching_sha2 full
+        # auth (the --server-public-key-path mitigation real clients offer,
+        # mysql(1) "--server-public-key-path"): without it, the key arrives
+        # over the unauthenticated wire, so an active MITM can substitute
+        # its own key and — the XOR nonce also being on the wire — recover
+        # the cleartext password.  Accepts a PEM file path or PEM bytes.
+        # When pinned, the client never requests the key from the server.
+        if isinstance(server_public_key, str):
+            with open(server_public_key, "rb") as fh:
+                server_public_key = fh.read()
+        self.server_public_key = server_public_key
         self.sock: socket.socket | None = None
         self.greeting: Greeting | None = None
         self._seq = 0
@@ -354,18 +366,24 @@ class MySQLBinlogClient:
                         # over TLS the cleartext password is the protocol
                         self._send_packet(self.password + b"\x00")
                         continue
-                    # plaintext socket: request the server RSA public key
-                    # (0x02), then send the XOR-scrambled password under
-                    # RSA-OAEP — the exchange a real mysqld runs when the
-                    # channel is not encrypted
-                    self._send_packet(b"\x02")
-                    kp = self._read_packet()
-                    if not kp or kp[0] != 0x01:
-                        raise CaptureError(
-                            f"expected AuthMoreData public key, got "
-                            f"{kp[:1]!r}"
+                    # plaintext socket: encrypt the XOR-scrambled password
+                    # under RSA-OAEP with the server public key — pinned
+                    # locally when configured (MITM-safe, like
+                    # --server-public-key-path), else requested over the
+                    # wire (0x02), which trusts the unauthenticated peer
+                    if self.server_public_key is not None:
+                        pub_n, pub_e = parse_rsa_public_pem(
+                            self.server_public_key
                         )
-                    pub_n, pub_e = parse_rsa_public_pem(bytes(kp[1:]))
+                    else:
+                        self._send_packet(b"\x02")
+                        kp = self._read_packet()
+                        if not kp or kp[0] != 0x01:
+                            raise CaptureError(
+                                f"expected AuthMoreData public key, got "
+                                f"{kp[:1]!r}"
+                            )
+                        pub_n, pub_e = parse_rsa_public_pem(bytes(kp[1:]))
                     self._send_packet(
                         rsa_oaep_encrypt(
                             pub_n, pub_e,

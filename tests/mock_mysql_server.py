@@ -193,6 +193,7 @@ class MockMySQLServer:
         self.auth_mode = auth_mode
         self.ssl_ctx = ssl_ctx
         self.tls_established = False
+        self.key_requested: bool | None = None  # full_rsa: did 0x02 arrive?
         self.event_payloads = event_payloads or []
         # nonce must have no trailing NULs (servers use printable bytes)
         self.nonce = nonce or bytes(range(1, 21))
@@ -303,9 +304,17 @@ class MockMySQLServer:
                 seq, req = read_packet(conn)
             except ConnectionError:
                 return
-            assert req == b"\x02", f"expected public-key request, got {req!r}"
-            send_packet(conn, b"\x01" + rsa_public_pem(), seq + 1)
-            seq, cipher = read_packet(conn)
+            if req == b"\x02":
+                # unpinned client: serve the key over the wire
+                self.key_requested = True
+                send_packet(conn, b"\x01" + rsa_public_pem(), seq + 1)
+                seq, cipher = read_packet(conn)
+            else:
+                # pinned client (--server-public-key-path analogue): the
+                # first packet after full-auth-needed is already the
+                # ciphertext — mysqld accepts this without a key request
+                self.key_requested = False
+                cipher = req
             scrambled = rsa_oaep_decrypt(bytes(cipher))
             assert scrambled == xor_password_scramble(self.password, self.nonce), (
                 "bad RSA-OAEP password scramble"

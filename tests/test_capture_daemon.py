@@ -293,6 +293,32 @@ class TestTls:
             c.close()
             assert srv.error is None
         assert not srv.tls_established
+        assert srv.key_requested is True  # unpinned client asked the wire
+
+    def test_caching_sha2_full_auth_pinned_public_key(self, tmp_path):
+        """Round-6 ADVICE: an unpinned plaintext exchange trusts whatever
+        key the unauthenticated peer sends (MITM can recover the password
+        since the XOR nonce is also on the wire).  With server_public_key
+        pinned — file path, like mysql's --server-public-key-path — the
+        client must encrypt with the LOCAL key and never issue the 0x02
+        wire request."""
+        from mock_mysql_server import rsa_public_pem
+
+        pem_file = tmp_path / "server_pub.pem"
+        pem_file.write_bytes(rsa_public_pem())
+        with MockMySQLServer(
+            password="s3cret!", plugin="caching_sha2_password",
+            auth_mode="full_rsa", ssl_ctx=None,
+        ) as srv:
+            c = MySQLBinlogClient(
+                "127.0.0.1", srv.port, "repl", "s3cret!",
+                server_public_key=str(pem_file),
+            )
+            c.connect()
+            assert list(c.dump()) == []
+            c.close()
+            assert srv.error is None
+        assert srv.key_requested is False  # ciphertext sent directly
 
 
 class TestRsaOaep:
