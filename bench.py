@@ -165,10 +165,14 @@ def bench_decode_only(spark, sf_tag: str) -> dict:
     # python-worker warmup (fork + imports across all cores) is JVM/process
     # cold start, not engine throughput — same policy as bench_cdc_replay
     decode_segment_files(spark, paths[:2]).count()
-    t0 = time.monotonic()
-    n = decode_segment_files(spark, paths).count()
-    wall = time.monotonic() - t0
-    return {"sec": round(wall, 3), "rows": n, "rows_per_sec": round(n / wall, 1)}
+    trials, n = [], 0
+    for _ in range(2):
+        t0 = time.monotonic()
+        n = decode_segment_files(spark, paths).count()
+        trials.append(round(time.monotonic() - t0, 3))
+    wall = min(trials)
+    return {"sec": wall, "trials": trials, "rows": n,
+            "rows_per_sec": round(n / wall, 1)}
 
 
 def bench_decode_shuffle(spark, sf_tag: str) -> dict:
@@ -179,10 +183,14 @@ def bench_decode_shuffle(spark, sf_tag: str) -> dict:
     seg_dir, n_ops = ensure_cdc_fixture(sf_tag)
     events = spark.read.parquet(seg_dir)
     decode_changes(events.limit(4000)).count()  # worker warmup
-    t0 = time.monotonic()
-    n = decode_changes(events).count()
-    wall = time.monotonic() - t0
-    return {"sec": round(wall, 3), "rows": n, "rows_per_sec": round(n / wall, 1)}
+    trials, n = [], 0
+    for _ in range(2):
+        t0 = time.monotonic()
+        n = decode_changes(events).count()
+        trials.append(round(time.monotonic() - t0, 3))
+    wall = min(trials)
+    return {"sec": wall, "trials": trials, "rows": n,
+            "rows_per_sec": round(n / wall, 1)}
 
 
 def ensure_multitable_fixture(n_rows_per_table: int = 200_000) -> str:
@@ -305,18 +313,24 @@ def bench_multitable(spark) -> dict:
             shutil.rmtree(root, ignore_errors=True)
 
     run_multi()  # warm (worker spin-up, codegen)
-    t0 = time.monotonic()
-    run_multi()
-    multi_sec = time.monotonic() - t0
+    multi_trials, single_trials = [], []
+    for _ in range(2):
+        t0 = time.monotonic()
+        run_multi()
+        multi_trials.append(round(time.monotonic() - t0, 3))
     run_single()  # warm
-    t0 = time.monotonic()
-    run_single()
-    single_sec = time.monotonic() - t0
+    for _ in range(2):
+        t0 = time.monotonic()
+        run_single()
+        single_trials.append(round(time.monotonic() - t0, 3))
+    multi_sec, single_sec = min(multi_trials), min(single_trials)
     single_rows = n_rows // 3
     return {
-        "multi_sec": round(multi_sec, 3),
+        "multi_sec": multi_sec,
+        "multi_trials": multi_trials,
         "multi_rows_per_sec": round(n_rows / multi_sec, 1),
-        "single_sec": round(single_sec, 3),
+        "single_sec": single_sec,
+        "single_trials": single_trials,
         "single_rows_per_sec": round(single_rows / single_sec, 1),
         # ≥ ~0.7 ⇒ O(batch); an O(tables×batch) applier would sit near 1/3
         "fanout_efficiency": round((n_rows / multi_sec) / (single_rows / single_sec), 3),
@@ -370,6 +384,11 @@ def main():
 
     from myzql_binlog_connector_spark.operators.fuzzy import release_cached
 
+    # round-6 directive: EVERY headline query is best-of-2 with both trials
+    # published — single trials on this ±15-50% shared host cannot separate
+    # a real regression from window noise (r5's cdc_decode_shuffle +25% and
+    # minhash_dup_pairs +31% were unjudgeable for exactly that reason)
+    trials_out: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = qfns[name]
         # one untimed warm-up pass per query (same policy as the CDC
@@ -379,11 +398,15 @@ def main():
         # a pandas_udf and made round-over-round deltas lie
         fn(spark, sf_dir).count()
         release_cached()  # warm pass must not hand its caches to the timed one
-        t0 = time.monotonic()
-        # count() forces full execution without collecting rows to driver
-        fn(spark, sf_dir).count()
-        queries[name] = round(time.monotonic() - t0, 3)
-        release_cached()  # drop operator-persisted blocks between queries
+        trials = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            # count() forces full execution without collecting rows to driver
+            fn(spark, sf_dir).count()
+            trials.append(round(time.monotonic() - t0, 3))
+            release_cached()  # drop operator-persisted blocks between trials
+        queries[name] = min(trials)
+        trials_out[name] = trials
 
     # IVF cell balance (round-5 directive: sampled k-means replaced strided
     # centroids — log the histogram so skewed cells are visible, not silent)
@@ -398,6 +421,13 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "trials": {
+            "cdc_replay_e2e": cdc["trials"],
+            "cdc_decode_only": dec["trials"],
+            "cdc_decode_shuffle": dec_sh["trials"],
+            "cdc_multitable_fanout": mt["multi_trials"],
+            **trials_out,
+        },
         "sf": sf,
         "cpus": cpus,
         "cdc_replay": cdc,
