@@ -970,22 +970,50 @@ class TypedVecCollector:
         g[5].append(log_pos)
         self.rows_hint += max(1, (len(payload) - rel_pos) // 96)
 
-    def flush(self):
-        """Yield one typed RecordBatch per non-empty group."""
+    def _decode_group(self, bufs, rel, gt, es, fs, lp, plan):
+        big, pos0, end = _concat_group(bufs, rel)
+        walk = walk_group(plan, big, pos0, end)
+        if walk is None:
+            return None
+        metas = {
+            "gtid": np.asarray(gt, np.int64),
+            "event_seq": np.asarray(es, np.int64),
+            "file_seq": np.asarray(fs, np.int64),
+            "log_pos": np.asarray(lp, np.int64),
+        }
+        return assemble_typed(plan, big, walk, metas, self.arrow_schema)
+
+    def flush(self, on_error: str = "raise", quarantine=None):
+        """Yield one typed RecordBatch per non-empty group.
+
+        ``on_error="quarantine"``: a failing group retries its events ONE
+        AT A TIME through the same kernel so one corrupt body poisons only
+        itself; events that still fail go to ``quarantine(fs, gtid,
+        event_seq, log_pos, payload, err)`` instead of raising — the same
+        contract as :meth:`EnvVecCollector.flush`."""
         groups, self._groups = self._groups, {}
         self.rows_hint = 0
         for bufs, rel, gt, es, fs, lp, plan in groups.values():
-            big, pos0, end = _concat_group(bufs, rel)
-            walk = walk_group(plan, big, pos0, end)
-            if walk is None:
+            try:
+                rb = self._decode_group(bufs, rel, gt, es, fs, lp, plan)
+            except Exception:
+                if on_error != "quarantine":
+                    raise
+                for i in range(len(bufs)):
+                    try:
+                        rb1 = self._decode_group(
+                            [bufs[i]], [rel[i]], [gt[i]], [es[i]],
+                            [fs[i]], [lp[i]], plan,
+                        )
+                    except Exception as e:
+                        if quarantine is not None:
+                            quarantine(fs[i], gt[i], es[i], lp[i], bufs[i], e)
+                        continue
+                    if rb1 is not None:
+                        yield rb1
                 continue
-            metas = {
-                "gtid": np.asarray(gt, np.int64),
-                "event_seq": np.asarray(es, np.int64),
-                "file_seq": np.asarray(fs, np.int64),
-                "log_pos": np.asarray(lp, np.int64),
-            }
-            yield assemble_typed(plan, big, walk, metas, self.arrow_schema)
+            if rb is not None:
+                yield rb
 
 
 def _concat_group(bufs, rel):

@@ -295,13 +295,24 @@ def make_typed_decoder(
     stop_position=None,
     out_batch_rows: int = 8192,
     flush_rows: int | None = None,
+    on_error: str = "raise",
 ):
     """Arrow UDF body: raw packets → typed change rows.
 
     Output columns: payload (one per ``column_names``, Arrow type per
     ``kinds``) + the merge meta columns.  DELETE rows carry only the key
     positions (from the before image) — matching the envelope-path
-    semantics of ``TranscriptsApplier.typed_changes``."""
+    semantics of ``TranscriptsApplier.typed_changes``.
+
+    ``on_error="quarantine"``: the flagship replay path's parity with the
+    envelope decoder's dead-letter contract — an undecodable packet (CRC
+    mismatch, truncation, parse error) becomes a row whose payload columns
+    are null and whose ``_corrupt`` column carries the triage record
+    (error + event-type byte + hex prefix), instead of failing the job.
+    A failed vectorized flush group retries its events singly so one
+    corrupt body poisons only itself.  The output schema gains the
+    ``_corrupt`` string column ONLY in this mode (null on good rows)."""
+    quarantine = on_error == "quarantine"
     arrow_schema = pa.schema(
         [
             (name, {"i": pa.int64(), "f": pa.float64(), "s": pa.string()}[k])
@@ -309,13 +320,20 @@ def make_typed_decoder(
         ]
         + _META_ARROW
     )
+    out_schema = (
+        arrow_schema.append(pa.field("_corrupt", pa.string()))
+        if quarantine else arrow_schema
+    )
     n_payload = len(column_names)
 
     def to_batch(cols: list[list]) -> pa.RecordBatch:
-        return pa.RecordBatch.from_arrays(
-            [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)],
-            schema=arrow_schema,
-        )
+        arrays = [pa.array(c, type=f.type) for c, f in zip(cols, arrow_schema)]
+        if quarantine:
+            arrays.append(pa.nulls(len(cols[0]) if cols else 0, pa.string()))
+        return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    def with_null_corrupt(rb: pa.RecordBatch) -> pa.RecordBatch:
+        return rb.append_column("_corrupt", pa.nulls(rb.num_rows, pa.string()))
 
     def new_cols():
         return [[] for _ in range(n_payload + len(_META_ARROW))]
@@ -323,6 +341,33 @@ def make_typed_decoder(
     kinds_t = tuple(kinds)
     keys_t = tuple(key_positions)
     flush_rows = flush_rows or _rv.FLUSH_ROWS
+
+    def dead_batch(dead: list[tuple]) -> pa.RecordBatch:
+        """Dead-letter rows: null payload, meta where parseable, _corrupt
+        carrying the triage record (same fields as _quarantine_env_row)."""
+        n = len(dead)
+        arrays = [pa.nulls(n, f.type) for f in arrow_schema][:n_payload]
+        arrays += [
+            pa.array([False] * n, pa.bool_()),                 # _deleted
+            pa.array([d[1] for d in dead], pa.int64()),        # _gtid
+            pa.array([d[2] for d in dead], pa.int64()),        # _event_seq
+            pa.array([0] * n, pa.int64()),                     # _event_row_index
+            pa.array([d[0] for d in dead], pa.int32()),        # _file_seq
+            pa.array([d[3] for d in dead], pa.int64()),        # _log_pos
+            pa.array([d[4] for d in dead], pa.string()),       # _corrupt
+        ]
+        return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+    def corrupt_text(blob, err) -> str:
+        import json as _json
+
+        mv = memoryview(blob)
+        return _json.dumps({
+            "error": f"{type(err).__name__}: {err}"[:500],
+            "event_type": mv[5] if len(mv) > 5 else None,
+            "blob_prefix": bytes(mv[:64]).hex(),
+            "blob_len": len(mv),
+        }, separators=(",", ":"))
 
     def decode_stream(packet_iter):
         """packet_iter yields (blob, file_seq, gtid, event_seq).
@@ -342,12 +387,39 @@ def make_typed_decoder(
         # apps: payload appends + _deleted append; meta_cols: the rest
         apps = tuple(c.append for c in cols[: n_payload + 1])
         meta_cols = cols[n_payload + 1 :]
+        dead: list[tuple] = []  # (file_seq, gtid, event_seq, log_pos, text)
+
+        def q_cb(fs, g, es, lp, payload, err):
+            dead.append((fs, g, es, lp, corrupt_text(payload, err)))
+
         n = 0
         for blob, file_seq, gtid, event_seq in packet_iter:
-            n += session.process_packet_typed_vec(
-                blob, file_seq, gtid, event_seq,
-                apps, meta_cols, kinds_t, keys_t, n_payload, vec,
-            )
+            if quarantine:
+                # per-row parsers extend the builder lists mid-event;
+                # snapshot so a failure rolls back instead of leaving the
+                # batch ragged (same policy as make_decoder)
+                marks = tuple(len(c) for c in cols)
+                try:
+                    n += session.process_packet_typed_vec(
+                        blob, file_seq, gtid, event_seq,
+                        apps, meta_cols, kinds_t, keys_t, n_payload, vec,
+                    )
+                except Exception as e:
+                    for c, m in zip(cols, marks):
+                        del c[m:]
+                    mv = memoryview(blob)
+                    lp = (
+                        int.from_bytes(mv[14:18], "little")
+                        if len(mv) >= 18 else 0
+                    )
+                    dead.append(
+                        (file_seq, gtid, event_seq, lp, corrupt_text(blob, e))
+                    )
+            else:
+                n += session.process_packet_typed_vec(
+                    blob, file_seq, gtid, event_seq,
+                    apps, meta_cols, kinds_t, keys_t, n_payload, vec,
+                )
             if n >= out_batch_rows:
                 yield to_batch(cols)
                 cols = new_cols()
@@ -358,16 +430,18 @@ def make_typed_decoder(
                 # bound deferred-buffer memory (and keep string columns far
                 # below the int32 Arrow offset limit on huge inputs); sized
                 # per worker count — see _vec_flush_rows
-                for rb in vec.flush():
+                for rb in vec.flush(on_error=on_error, quarantine=q_cb):
                     session.rows_emitted += rb.num_rows
-                    yield rb
+                    yield with_null_corrupt(rb) if quarantine else rb
         if n:
             yield to_batch(cols)
-        for rb in vec.flush():
+        for rb in vec.flush(on_error=on_error, quarantine=q_cb):
             session.rows_emitted += rb.num_rows
-            yield rb
+            yield rb if not quarantine else with_null_corrupt(rb)
+        if dead:
+            yield dead_batch(dead)
 
-    return decode_stream, arrow_schema
+    return decode_stream, out_schema
 
 
 def _bin_pack_paths(spark, paths: list[str], per_core: int = 2) -> DataFrame:
@@ -417,10 +491,15 @@ def decode_typed_from_files(
     key_positions: tuple[int, ...] = (0, 1),
     table_filter=None,
     stop_position=None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Zero-shuffle typed decode: size-balanced file bins, pyarrow read
     inside the task, typed Arrow columns out.  The bounded-replay fast
-    path."""
+    path.
+
+    ``on_error="quarantine"`` adds a ``_corrupt`` string column (null on
+    good rows); undecodable packets become dead-letter rows instead of
+    failing the job — see :func:`make_typed_decoder`."""
     import json as _json
 
     import pyarrow.parquet as pq
@@ -433,6 +512,7 @@ def decode_typed_from_files(
     decode_stream, arrow_schema = make_typed_decoder(
         column_names, kinds, key_positions, table_filter, stop_position,
         flush_rows=_vec_flush_rows(spark.sparkContext.defaultParallelism),
+        on_error=on_error,
     )
     fields = [
         StructField(name, {"i": LongType(), "f": DoubleType(), "s": StringType()}[k], True)
@@ -445,6 +525,8 @@ def decode_typed_from_files(
         StructField("_file_seq", IntegerType(), False),
         StructField("_log_pos", LongType(), False),
     ]
+    if on_error == "quarantine":
+        fields.append(StructField("_corrupt", StringType(), True))
     spark_schema = StructType(fields)
 
     bins_df = _bin_pack_paths(spark, paths)

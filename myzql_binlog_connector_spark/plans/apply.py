@@ -236,10 +236,22 @@ class TranscriptsApplier:
         batch_id: int | None = None,
         table_filter=None,
         stop_position: tuple[int, int] | None = None,
+        on_error: str = "raise",
     ) -> dict:
         """Bounded-replay fast path: zero-shuffle typed decode straight from
         segment files (no JSON envelope, no from_json), then the same
-        watermark-gated exactly-once merge as :meth:`apply_batch`."""
+        watermark-gated exactly-once merge as :meth:`apply_batch`.
+
+        ``on_error="quarantine"``: quarantine parity for the flagship
+        typed path — an undecodable packet becomes a dead-letter row
+        instead of failing the replay (the contract ``apply_batch`` +
+        ``decode_changes(on_error="quarantine")`` already has).  Dead
+        letters are written to ``{table}/_quarantine/batch-{id}/`` for
+        DLQ triage, counted in the returned record (``quarantined_rows``),
+        and excluded from the merge; at 100 TB the hot path is exactly
+        where corruption eventually appears, and falling back to the
+        slower envelope path would forfeit the typed path's throughput
+        right when it matters."""
         import json
         import os
 
@@ -279,6 +291,7 @@ class TranscriptsApplier:
             key_positions=self.key_positions,
             table_filter=table_filter,
             stop_position=stop_position,
+            on_error=on_error,
         )
         # cast payload columns to their exact Spark types (string→timestamp,
         # int64→int, string→decimal, …) — one JVM cast per column; TIMESTAMP
@@ -288,7 +301,30 @@ class TranscriptsApplier:
                 typed = typed.withColumn(name, utc_timestamp_col(name))
             else:
                 typed = typed.withColumn(name, F.col(name).cast(field.dataType))
-        return self._merge_typed(typed, batch_id)
+        if on_error != "quarantine":
+            return self._merge_typed(typed, batch_id)
+        # one decode feeds both the dead-letter split and the merge: persist
+        # at batch granularity (bounded — the same unit apply_batch already
+        # persists), split on _corrupt, sink the dead letters, merge the rest
+        typed = typed.persist()
+        try:
+            dead = typed.filter(F.col("_corrupt").isNotNull()).select(
+                "_file_seq", "_gtid", "_event_seq", "_log_pos", "_corrupt"
+            )
+            n_dead = dead.count()
+            if n_dead:
+                dlq_dir = os.path.join(
+                    self.table.path, "_quarantine", f"batch-{batch_id}"
+                )
+                dead.coalesce(1).write.mode("overwrite").parquet(dlq_dir)
+            rec = self._merge_typed(
+                typed.filter(F.col("_corrupt").isNull()).drop("_corrupt"),
+                batch_id,
+            )
+            rec["quarantined_rows"] = n_dead
+            return rec
+        finally:
+            typed.unpersist()
 
     def bootstrap(self, snapshot: DataFrame, batch_id: int | None = None) -> dict:
         """Initial-load phase (the Debezium-snapshot analogue): merge a

@@ -298,3 +298,144 @@ class TestQuarantineRaggedBatch:
         packets = _truncate_rows_event(w.events, rows_idx=1)
         batches = _decode_inprocess(packets)
         self._assert_rectangular_with_one_corrupt(batches, n_good=30)
+
+
+# ---------------------------------------------------------------------------
+# round-6 directive: quarantine parity for the TYPED fast path (apply_files →
+# make_typed_decoder → TypedVecCollector.flush).  The flagship replay path
+# must survive one corrupt packet at 100 TB without falling back to the
+# slower envelope path.
+# ---------------------------------------------------------------------------
+
+
+def _typed_packets(corrupt_body_idx=(), truncate_idx=()):
+    """Transcripts packets (vectorizable schema → typed kernel on the path).
+
+    ``corrupt_body_idx``: smash row-body bytes, length/framing intact — the
+    event classifies fine, defers into the vec collector, and only fails in
+    the kernel's group decode (exercises the flush retry-singly leg).
+    ``truncate_idx``: cut mid-body — fails the _pre_rows structural check
+    (exercises the immediate per-event rollback leg)."""
+    w = EventWriter(server_id=1)
+    w.format_description()
+    w.table_map(5, TRANSCRIPTS_SCHEMA)
+    for i in range(6):
+        w.write_rows(5, TRANSCRIPTS_SCHEMA, _rows(10, start=i * 10))
+    packets, seen = [], 0
+    for off, pkt in w.events:
+        blob = bytearray(pkt)
+        if blob[5] in (30, 31, 32):
+            if seen in corrupt_body_idx:
+                for j in range(35, 55):
+                    blob[j] = 0xFF  # varchar length bytes point past body
+            if seen in truncate_idx:
+                blob = blob[: len(blob) // 2]
+            seen += 1
+        packets.append((off, bytes(blob)))
+    return packets
+
+
+def _write_segment(packets, path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    t = pa.table({
+        "file_seq": pa.array([1] * len(packets), pa.int32()),
+        "offset": pa.array([p[0] for p in packets], pa.int64()),
+        "gtid": pa.array(list(range(1, len(packets) + 1)), pa.int64()),
+        "event_seq": pa.array(list(range(1, len(packets) + 1)), pa.int64()),
+        "event_type": pa.array([p[1][5] for p in packets], pa.int8()),
+        "event_blob": pa.array([p[1] for p in packets], pa.binary()),
+    })
+    pq_.write_table(t, str(path))
+
+
+class TestTypedPathQuarantine:
+    def _drive(self, spark, tmp_path, packets, on_error="quarantine"):
+        from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        seg_dir = tmp_path / "segs"
+        seg_dir.mkdir(exist_ok=True)
+        _write_segment(packets, seg_dir / "segment-000001.parquet")
+        table = BucketedLakeTable(
+            spark, str(tmp_path / "lake"), ["conv_id", "turn_idx"], n_buckets=4
+        )
+        rec = TranscriptsApplier(spark, table, salt=None).apply_files(
+            [str(seg_dir / "segment-000001.parquet")],
+            batch_id=0,
+            on_error=on_error,
+        )
+        return table, rec
+
+    def test_kernel_group_failure_quarantines_one_event(self, spark, tmp_path):
+        """Corruption that only the vectorized kernel can see (framing
+        intact, row walk overruns): the flush group retries singly, the
+        job completes, and exactly the poisoned event's rows are absent."""
+        table, rec = self._drive(spark, tmp_path, _typed_packets(corrupt_body_idx=(2,)))
+        assert rec["quarantined_rows"] == 1
+        got = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
+        assert len(got) == 50  # 5 healthy events × 10 rows
+        assert got.isdisjoint({(f"conv-{j}", j) for j in range(20, 30)})
+        # DLQ sidecar holds the triage record
+        dead = spark.read.parquet(str(tmp_path / "lake" / "_quarantine" / "batch-0"))
+        rows = dead.collect()
+        assert len(rows) == 1
+        info = json.loads(rows[0]._corrupt)
+        assert "error" in info and info["blob_prefix"]
+
+    def test_structural_truncation_quarantines(self, spark, tmp_path):
+        """Truncation fails the _pre_rows structural check before deferral —
+        the immediate per-event rollback leg of the typed decoder."""
+        table, rec = self._drive(spark, tmp_path, _typed_packets(truncate_idx=(0, 4)))
+        assert rec["quarantined_rows"] == 2
+        got = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
+        assert len(got) == 40
+        assert got.isdisjoint({(f"conv-{j}", j) for j in range(0, 10)})
+        assert got.isdisjoint({(f"conv-{j}", j) for j in range(40, 50)})
+
+    def test_default_raises_fail_fast(self, spark, tmp_path):
+        with pytest.raises(Exception):
+            self._drive(spark, tmp_path, _typed_packets(corrupt_body_idx=(1,)),
+                        on_error="raise")
+
+    def test_clean_stream_has_no_quarantine_cost(self, spark, tmp_path):
+        """No corruption → quarantined_rows == 0, no DLQ dir, full state."""
+        import os as _os
+
+        table, rec = self._drive(spark, tmp_path, _typed_packets())
+        assert rec["quarantined_rows"] == 0
+        assert not _os.path.exists(str(tmp_path / "lake" / "_quarantine"))
+        assert table.read().count() == 60
+
+    def test_typed_matches_envelope_quarantine_state(self, spark, tmp_path):
+        """Parity pin: the typed fast path and the envelope path must
+        converge to the SAME final state on the same corrupt stream —
+        oracle minus quarantined events."""
+        from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+        from myzql_binlog_connector_spark.sources.segments import EVENTS_SCHEMA
+
+        packets = _typed_packets(corrupt_body_idx=(1,), truncate_idx=(3,))
+        table, rec = self._drive(spark, tmp_path, packets)
+        assert rec["quarantined_rows"] == 2
+
+        rows = [
+            (1, off, i + 1, i + 1, blob[5], bytes(blob))
+            for i, (off, blob) in enumerate(packets)
+        ]
+        env = decode_changes(
+            spark.createDataFrame(rows, EVENTS_SCHEMA), on_error="quarantine"
+        )
+        env_table = BucketedLakeTable(
+            spark, str(tmp_path / "lake_env"), ["conv_id", "turn_idx"], n_buckets=4
+        )
+        TranscriptsApplier(spark, env_table, salt=None).apply_batch(env, batch_id=0)
+        typed_state = {
+            (r.conv_id, r.turn_idx, r.text) for r in table.read().collect()
+        }
+        env_state = {
+            (r.conv_id, r.turn_idx, r.text) for r in env_table.read().collect()
+        }
+        assert typed_state == env_state
+        assert len(typed_state) == 40
