@@ -611,3 +611,100 @@ class TestHotBucketSkew:
         assert rec["hot_buckets"] == {}
         for fl in t.snapshot_manifest()["files"].values():
             assert len(fl) <= 1
+
+
+class TestChangeFeedConsumerChain:
+    """Round-6 directive: drive the change feed's intended consumer loop
+    END TO END — a replica table kept in sync by incremental
+    read_changes(from_version=...) applied batch-by-batch, interleaved
+    with primary merges, a vacuum mid-stream that expires versions the
+    lagging replica still needs, the resulting RetentionOverrunError, and
+    the documented re-bootstrap recovery.  The content-level oracle
+    (cdc_change_feed) checks WHAT the feed returns; this pins that a
+    consumer following the API contract actually converges."""
+
+    @staticmethod
+    def _state(t):
+        return {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+
+    @staticmethod
+    def _sync(primary, replica, next_version):
+        """One consumer cycle: pull commits [next_version..head], apply
+        each commit as its own merge (incremental, not one big union),
+        return the next resume point."""
+        from pyspark.sql import functions as F
+
+        head = max(primary.versions())
+        if next_version > head:
+            return next_version
+        feed = primary.read_changes(from_version=next_version)
+        versions = sorted(
+            r._commit_version
+            for r in feed.select("_commit_version").distinct().collect()
+        )
+        for v in versions:
+            replica.merge(
+                feed.filter(F.col("_commit_version") == v).drop("_commit_version")
+            )
+        return head + 1
+
+    def test_replica_converges_through_vacuum_and_recovery(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from myzql_binlog_connector_spark.plans.lake import (
+            BucketedLakeTable,
+            RetentionOverrunError,
+        )
+
+        primary = BucketedLakeTable(
+            spark, str(tmp_path / "primary"), ["conv_id", "turn_idx"], n_buckets=4
+        )
+        replica = BucketedLakeTable(
+            spark, str(tmp_path / "replica"), ["conv_id", "turn_idx"], n_buckets=4
+        )
+
+        # phase 1: two primary commits, replica tails them incrementally
+        primary.merge(_mk_changes(spark, [
+            ("c1", 0, "a", 1, False), ("c2", 0, "b", 1, False)]), batch_id=0)
+        primary.merge(_mk_changes(spark, [
+            ("c1", 0, "a2", 2, False), ("c3", 0, "c", 2, False)]), batch_id=1)
+        nxt = self._sync(primary, replica, 1)
+        assert self._state(replica) == self._state(primary)
+
+        # phase 2: more commits — updates, a delete, new keys — sync again
+        primary.merge(_mk_changes(spark, [("c2", 0, None, 3, True)]), batch_id=2)
+        primary.merge(_mk_changes(spark, [("c4", 0, "d", 4, False)]), batch_id=3)
+        nxt = self._sync(primary, replica, nxt)
+        assert self._state(replica) == self._state(primary)
+        assert ("c2", 0) not in self._state(replica)  # tombstone propagated
+
+        # phase 3: replica lags while the primary advances AND vacuums —
+        # the retained window moves past the replica's resume point
+        for g in range(5, 9):
+            primary.merge(
+                _mk_changes(spark, [(f"k{g}", 0, f"v{g}", g, False),
+                                    ("c1", 0, f"a{g}", g, False)]),
+                batch_id=g - 1,
+            )
+        primary.vacuum(retain_last=2)
+        with _pytest.raises(RetentionOverrunError):
+            self._sync(primary, replica, nxt)
+
+        # phase 4: documented recovery — re-bootstrap the replica from a
+        # primary snapshot (meta cols carry the LWW order keys), resume
+        # the feed AFTER the snapshot version
+        replica2 = BucketedLakeTable(
+            spark, str(tmp_path / "replica2"), ["conv_id", "turn_idx"], n_buckets=4
+        )
+        snap_version = max(primary.versions())
+        replica2.merge(primary.read(include_meta=True))
+        assert self._state(replica2) == self._state(primary)
+
+        # phase 5: the rebuilt replica tails subsequent commits normally
+        primary.merge(_mk_changes(spark, [
+            ("c1", 0, "final", 20, False), ("k5", 0, None, 20, True)]),
+            batch_id=20)
+        self._sync(primary, replica2, snap_version + 1)
+        assert self._state(replica2) == self._state(primary)
+        assert self._state(replica2)[("c1", 0)] == "final"
+        assert ("k5", 0) not in self._state(replica2)
