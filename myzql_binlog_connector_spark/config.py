@@ -172,7 +172,11 @@ def run_replay(spark, config: ReplayConfig):
                 )
             )
         if config.output_mode == "stdout":
-            env.show(50, truncate=False)  # reference stdout sink (S5)
+            # reference stdout sink (S5), value-format parity with
+            # output.zig printRowEvent/formatRowValue
+            from .functions.render import render_envelope
+
+            print(render_envelope(env, limit=50))
         elif config.parquet_output_dir:
             env.write.mode("overwrite").parquet(config.parquet_output_dir)
         return [], env
