@@ -37,19 +37,30 @@ def cdc_cache_dir(sf_tag: str) -> str:
 
 def ensure_cdc_fixture(sf_tag: str) -> tuple[str, int]:
     """Generate (once) and cache the synthetic binlog segment store.
-    Returns (segments_dir, n_change_rows)."""
+    Returns (segments_dir, n_change_rows).
+
+    ``SPARK_GRAFT_CDC_FIXTURE_DIR`` points at an alternate pre-built
+    fixture root (segments/ + meta.json) — the skewed/endurance bench
+    scripts use it to run the standard measurements over their own
+    streams."""
     from myzql_binlog_connector_spark.genlog import (
         generate_ops,
         encode_stream,
         write_segments_parquet,
     )
 
-    root = cdc_cache_dir(sf_tag)
+    override = os.environ.get("SPARK_GRAFT_CDC_FIXTURE_DIR")
+    root = override or cdc_cache_dir(sf_tag)
     seg_dir = os.path.join(root, "segments")
     meta_path = os.path.join(root, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             return seg_dir, json.load(f)["n_ops"]
+    if override:
+        raise FileNotFoundError(
+            f"SPARK_GRAFT_CDC_FIXTURE_DIR={override} has no meta.json — "
+            "build the fixture first (never silently regenerate it here)"
+        )
     # ~4.5 turns/conv average → n_convs sized to hit the ops target
     n_convs = max(100, int(CDC_OPS_TARGET / 6.3))
     ops = generate_ops(seed=SEED, n_convs=n_convs, max_turns=8,

@@ -75,17 +75,28 @@ def generate_ops(
     delete_frac: float = 0.1,
     hot_frac: float = 0.05,
     hot_weight: int = 20,
+    viral_frac: float = 0.0,
+    viral_turns: int = 4,
+    conv_prefix: str = "",
 ) -> list[Op]:
     """Insert every turn, then a shuffled tail of updates/deletes.
 
     A few hot conversations receive ``hot_weight``× the update traffic to
     exercise skew salting (SURVEY.md §2.6 T8).
-    """
+
+    ``viral_frac`` > 0 models the one-viral-conversation worst case (a
+    single ``conv_id`` absorbing that fraction of ALL change events as an
+    update storm over its first ``viral_turns`` turns).  With few distinct
+    keys, those rows hash into a handful of buckets at 3×+ the mean —
+    exactly the value-skew-inside-one-bucket scenario the merge's
+    hot-bucket salt-split exists for."""
     rng = random.Random(seed)
     ops: list[Op] = []
     rows: dict[tuple[str, int], tuple] = {}
     ts = BASE_TS_US
-    conv_ids = [f"conv-{i:06d}" for i in range(n_convs)]
+    # conv_prefix namespaces the keys (endurance/multi-chunk fixtures
+    # concatenate independently-generated streams without key collisions)
+    conv_ids = [f"{conv_prefix}conv-{i:06d}" for i in range(n_convs)]
     n_hot = max(1, int(n_convs * hot_frac))
     hot = set(conv_ids[:n_hot])
 
@@ -110,8 +121,31 @@ def generate_ops(
         after = (key[0], key[1], before[2], "edited: " + _mk_text(rng), before[4], ts)
         rows[key] = after
         tail.append(Op("UPDATE", key, after, before))
+    if viral_frac:
+        viral_conv = conv_ids[0]
+        for turn in range(viral_turns):
+            if (viral_conv, turn) not in rows:
+                ts += rng.randint(1, 1000) * 1000
+                row = (viral_conv, turn, rng.choice(ROLES), _mk_text(rng),
+                       None, ts)
+                rows[(viral_conv, turn)] = row
+                ops.append(Op("INSERT", (viral_conv, turn), row))
+        # n_viral such that viral ops ≈ viral_frac of the final stream
+        base_total = len(ops) + len(tail) + int(len(keys) * delete_frac)
+        n_viral = int(base_total * viral_frac / (1.0 - viral_frac))
+        for _ in range(n_viral):
+            key = (viral_conv, rng.randrange(viral_turns))
+            before = rows[key]
+            ts += rng.randint(1, 1000) * 1000
+            after = (key[0], key[1], before[2], "viral: " + _mk_text(rng),
+                     before[4], ts)
+            rows[key] = after
+            tail.append(Op("UPDATE", key, after, before))
     n_deletes = int(len(keys) * delete_frac)
-    del_keys = rng.sample(keys, n_deletes)
+    # the viral conversation's keys stay alive — deleting one would end
+    # the storm the mode exists to model
+    del_pool = [k for k in keys if not viral_frac or k[0] != conv_ids[0]]
+    del_keys = rng.sample(del_pool, min(n_deletes, len(del_pool)))
     for key in del_keys:
         if key in rows:
             tail.append(Op("DELETE", key, None, rows.pop(key)))

@@ -708,3 +708,41 @@ class TestChangeFeedConsumerChain:
         assert self._state(replica2) == self._state(primary)
         assert self._state(replica2)[("c1", 0)] == "final"
         assert ("k5", 0) not in self._state(replica2)
+
+
+class TestViralStreamE2E:
+    """Round-6 directive #4 companion: the viral-conversation generator
+    mode (40% of events on one conv_id) must (a) trigger the hot-bucket
+    salt-split with the hot set visible in lineage and (b) still converge
+    to the pure-Python LWW oracle — correctness under exactly the skew
+    the guard exists for."""
+
+    def test_viral_stream_matches_truth_with_hot_split(self, spark, tmp_path):
+        from myzql_binlog_connector_spark.functions.decode import decode_changes
+        from myzql_binlog_connector_spark.genlog import (
+            encode_stream,
+            generate_ops,
+            write_segments_parquet,
+        )
+        from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        ops = generate_ops(seed=11, n_convs=300, viral_frac=0.4, viral_turns=4)
+        stream = encode_stream(ops, n_segments=4, seed=11)
+        write_segments_parquet(stream, str(tmp_path / "seg"))
+
+        table = BucketedLakeTable(
+            spark, str(tmp_path / "lake"), ["conv_id", "turn_idx"],
+            n_buckets=32, hot_bucket_split_rows=64,  # low floor: force the split at test scale
+        )
+        env = decode_changes(spark.read.parquet(str(tmp_path / "seg")))
+        TranscriptsApplier(spark, table, salt=None).apply_batch(env, batch_id=0)
+
+        got = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
+        want = {k: v[3] for k, v in stream.truth.items()}
+        assert got == want
+        # the viral keys' buckets were recognized as hot and recorded
+        rec = table.lineage()[-1]
+        assert rec["hot_buckets"], "viral skew must surface in lineage"
+        hot_rows = sum(rec["hot_buckets"].values())
+        assert hot_rows >= 0.3 * len(ops)  # the storm dominates the hot set
