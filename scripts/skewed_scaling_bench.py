@@ -81,7 +81,8 @@ spark.sparkContext.setLogLevel("ERROR")
 seg, n_ops = bench.ensure_cdc_fixture("skewed")
 res = {"cpus": cpus, "n_ops": n_ops}
 best = None
-for trial in range(3):  # trial 0 = warmup; best-of-2 measured
+n_trials = int(os.environ.get("SKEW_TRIALS", "3"))  # trial 0 = warmup
+for trial in range(n_trials):
     r = bench.bench_cdc_replay(spark, "skewed")
     res[f"replay_trial{trial}"] = r
     if trial > 0 and (best is None or r["sec"] < best["sec"]):
