@@ -99,6 +99,7 @@ class BucketedLakeTable:
         aligned_writes: bool = False,
         hot_bucket_split_rows: int = 1 << 18,
         codec: str = "snappy",
+        auto_fold: bool = True,
     ):
         self.spark = spark
         self.path = path
@@ -127,6 +128,15 @@ class BucketedLakeTable:
         # default keeps the two-shuffle plan (which also lets AQE pick the
         # reduce parallelism independently of the bucket count).
         self.aligned_writes = aligned_writes
+        # auto_fold=False defers the inline fold (the one O(bucket-history)
+        # step a merge can take — the round-6 endurance run measured it at
+        # ~8x a normal batch when every bucket crosses the threshold at
+        # once) to an out-of-band maintenance pass: run
+        # ``compact(needs_fold())`` on the operator's schedule, the Delta
+        # OPTIMIZE pattern.  Reads stay correct regardless — they resolve
+        # LWW across however many files a bucket has — only read
+        # amplification grows until compaction runs.
+        self.auto_fold = auto_fold
 
     # ------------------------------------------------------------------
     # manifest plumbing
@@ -542,7 +552,7 @@ class BucketedLakeTable:
         # --- bounded read amplification: fold over-threshold buckets --------
         folded = [
             b for b in dirty if len(new_files[str(b)]) > self.max_files_per_bucket
-        ]
+        ] if self.auto_fold else []
         if folded:
             fold_files = [p for b in folded for p in new_files[str(b)]]
             fold_df = self._lww(self._read_files(fold_files, schema_json), schema)
@@ -610,6 +620,19 @@ class BucketedLakeTable:
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
+
+    def needs_fold(self) -> list[int]:
+        """Buckets whose delta-file count exceeds ``max_files_per_bucket``
+        — the inline-fold trigger.  With ``auto_fold=False`` a maintenance
+        loop runs ``compact(buckets=needs_fold())`` on its own schedule
+        instead of paying the fold inside a merge commit."""
+        if not self.exists():
+            return []
+        m = self._read_manifest()
+        return sorted(
+            int(b) for b, fl in m["files"].items()
+            if len(fl) > self.max_files_per_bucket
+        )
 
     def compact(
         self,

@@ -746,3 +746,52 @@ class TestViralStreamE2E:
         assert rec["hot_buckets"], "viral skew must surface in lineage"
         hot_rows = sum(rec["hot_buckets"].values())
         assert hot_rows >= 0.3 * len(ops)  # the storm dominates the hot set
+
+
+class TestDeferredFold:
+    """auto_fold=False moves the one O(bucket-history) merge step to an
+    out-of-band compact(needs_fold()) pass (the Delta OPTIMIZE pattern,
+    measured at ~8x a normal batch in the round-6 endurance run when every
+    bucket crossed the threshold at once).  Reads must stay correct while
+    deltas accumulate past the threshold."""
+
+    def test_accumulate_then_maintenance_compact(self, spark, tmp_path):
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        t = BucketedLakeTable(
+            spark, str(tmp_path / "t"), ["conv_id", "turn_idx"],
+            n_buckets=2, max_files_per_bucket=3, auto_fold=False,
+        )
+        # 6 commits on the same key → 6 delta files in one bucket (> max 3)
+        for g in range(1, 7):
+            t.merge(_mk_changes(spark, [("k", 0, f"v{g}", g, False)]), batch_id=g)
+        m = t._read_manifest()
+        assert max(len(fl) for fl in m["files"].values()) == 6  # no inline fold
+        assert {(r.conv_id, r.turn_idx, r.text) for r in t.read().collect()} == {
+            ("k", 0, "v6")
+        }  # LWW across 6 files still correct
+        hot = t.needs_fold()
+        assert len(hot) == 1
+        t.compact(buckets=hot)
+        m = t._read_manifest()
+        assert max(len(fl) for fl in m["files"].values()) == 1
+        assert t.needs_fold() == []
+        assert {(r.conv_id, r.turn_idx, r.text) for r in t.read().collect()} == {
+            ("k", 0, "v6")
+        }
+        # subsequent merges keep working on the folded layout
+        t.merge(_mk_changes(spark, [("k", 0, "v7", 7, False)]), batch_id=7)
+        assert {r.text for r in t.read().collect()} == {"v7"}
+
+    def test_auto_fold_default_still_bounds(self, spark, tmp_path):
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        t = BucketedLakeTable(
+            spark, str(tmp_path / "t"), ["conv_id", "turn_idx"],
+            n_buckets=2, max_files_per_bucket=3,
+        )
+        for g in range(1, 7):
+            t.merge(_mk_changes(spark, [("k", 0, f"v{g}", g, False)]), batch_id=g)
+        m = t._read_manifest()
+        assert max(len(fl) for fl in m["files"].values()) <= 4  # folds inline
+        assert t.needs_fold() == []
