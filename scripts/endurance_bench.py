@@ -163,8 +163,10 @@ def main() -> None:
     sampler.start()
     batches = []
     try:
+        auto_fold = os.environ.get("SPARK_GRAFT_ENDURANCE_AUTO_FOLD", "1") != "0"
         table = BucketedLakeTable(
-            spark, table_dir, ["conv_id", "turn_idx"], n_buckets=32
+            spark, table_dir, ["conv_id", "turn_idx"], n_buckets=32,
+            auto_fold=auto_fold,
         )
         applier = TranscriptsApplier(spark, table, salt=None)
         # warmup on a 2-segment slice of chunk 0 (throwaway table):
@@ -203,9 +205,23 @@ def main() -> None:
             })
             print(json.dumps(batches[-1]), file=sys.stderr)
         wall_all = time.monotonic() - t_all
+        # deferred-fold mode: the maintenance pass runs AFTER the ingest
+        # window (the Delta OPTIMIZE pattern) and is timed separately
+        maintenance = None
+        if not auto_fold:
+            hot = table.needs_fold()
+            t0 = time.monotonic()
+            table.compact(buckets=hot)
+            maintenance = {
+                "folded_buckets": len(hot),
+                "sec": round(time.monotonic() - t0, 2),
+                "peak_rss_mb": sampler.window(),
+            }
         final = table.read().count()
         out = {
             "bench": "endurance_sf1",
+            "auto_fold": auto_fold,
+            "maintenance": maintenance,
             "cpus": cpus,
             "chunks": N_CHUNKS,
             "total_change_rows": total_rows,
