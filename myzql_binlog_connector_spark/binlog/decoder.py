@@ -673,6 +673,10 @@ class BinlogSession:
         self.current_event_seq: int = 0
         self.current_file_seq: int | None = None
         self.table_filter = table_filter  # callable (db, table) -> bool
+        # table_ids whose TABLE_MAP the filter dropped ON PURPOSE — their
+        # ROWS events skip silently; an id in NEITHER cache is a
+        # corrupt/lost announcement and raises (data loss ≠ filtering)
+        self._filtered_ids: set[int] = set()
         # optional per-packet CRC32 validation (the reference only trims the
         # checksum; verification is engine-extra).  Checked on EVERY packet,
         # including event kinds the fast-skip path never decodes.
@@ -792,12 +796,17 @@ class BinlogSession:
             for k in [k for k in self._parser_cache if k[0] == table_id]:
                 del self._parser_cache[k]
             # earliest-possible filter: excluded tables are never cached, so
-            # their ROWS events skip all parsing (binlog_reader.zig:404-417)
+            # their ROWS events skip all parsing (binlog_reader.zig:404-417).
+            # The id is remembered as INTENTIONALLY filtered — that skip
+            # must stay distinguishable from "schema never arrived" (a
+            # corrupt/lost TABLE_MAP), which is data loss, not filtering.
             if self.table_filter is not None and not self.table_filter(schema.database, schema.table):
                 self.table_maps.pop(table_id, None)
                 self._schema_desc.pop(table_id, None)
                 self._decoders.pop(table_id, None)
+                self._filtered_ids.add(table_id)
                 return None
+            self._filtered_ids.discard(table_id)
             self.table_maps[table_id] = schema  # last TABLE_MAP wins
             self._decoders[table_id] = [compile_decoder(c) for c in schema.columns]
             # compact schema descriptor rides along with every decoded row —
@@ -814,7 +823,19 @@ class BinlogSession:
         table_id = int.from_bytes(payload[:6], "little")
         schema = self.table_maps.get(table_id)
         if schema is None:
-            return None  # uncached ⇒ skip entirely
+            if table_id in self._filtered_ids:
+                return None  # intentionally filtered ⇒ skip entirely
+            # no TABLE_MAP ever cached for this id: its announcement was
+            # corrupt or lost.  Silently dropping the rows would be data
+            # loss masquerading as filtering (round-6 fuzz finding) —
+            # raise, so fail-fast mode stops and quarantine mode
+            # dead-letters the orphaned event; the next good re-announce
+            # (real binlogs emit one per statement) resumes decode.
+            raise ValueError(
+                f"ROWS event for unmapped table_id {table_id} — its "
+                f"TABLE_MAP was corrupt or lost (file_seq={file_seq}, "
+                f"log_pos={hdr.log_pos})"
+            )
         return hdr, et, payload, table_id, schema
 
     def process_packet_events(

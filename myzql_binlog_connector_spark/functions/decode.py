@@ -90,11 +90,16 @@ def _env_to_batch(out) -> pa.RecordBatch:
 DML_CORRUPT = "_corrupt"
 
 
-def _quarantine_env_row(out, blob, file_seq, gtid, event_seq, err) -> None:
+def _quarantine_env_row(out, blob, file_seq, gtid, event_seq, err,
+                        framed: bool = True) -> None:
     """Append a dead-letter envelope row for an undecodable packet: the
     error, the event-type byte, and a hex prefix of the raw bytes ride in
     ``after_values`` so a DLQ consumer can triage without re-reading the
-    source."""
+    source.
+
+    ``framed=False``: ``blob`` is a bare event BODY (vec-flush retries
+    hand the deferred payload, not the framed packet), so byte 5 is row
+    data, not the event type — report it as unknown rather than lie."""
     from ..binlog.decoder import _dumps
 
     mv = memoryview(blob)
@@ -108,7 +113,7 @@ def _quarantine_env_row(out, blob, file_seq, gtid, event_seq, err) -> None:
     out.before_values.append(None)
     out.after_values.append(_dumps({
         "error": f"{type(err).__name__}: {err}"[:500],
-        "event_type": mv[5] if len(mv) > 5 else None,
+        "event_type": mv[5] if framed and len(mv) > 5 else None,
         "blob_prefix": bytes(mv[:64]).hex(),
         "blob_len": len(mv),
     }))
@@ -201,7 +206,7 @@ def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 81
         out = EnvelopeBatch()
 
         def q_cb(fs, g, es, lp, payload, err):
-            _quarantine_env_row(out, payload, fs, g, es, err)
+            _quarantine_env_row(out, payload, fs, g, es, err, framed=False)
 
         for batch in batches:
             file_seqs = batch.column("file_seq").to_pylist()
@@ -358,13 +363,15 @@ def make_typed_decoder(
         ]
         return pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
-    def corrupt_text(blob, err) -> str:
+    def corrupt_text(blob, err, framed: bool = True) -> str:
+        # framed=False: bare event body (vec-flush retry) — byte 5 is row
+        # data, not the event type; report unknown rather than lie
         import json as _json
 
         mv = memoryview(blob)
         return _json.dumps({
             "error": f"{type(err).__name__}: {err}"[:500],
-            "event_type": mv[5] if len(mv) > 5 else None,
+            "event_type": mv[5] if framed and len(mv) > 5 else None,
             "blob_prefix": bytes(mv[:64]).hex(),
             "blob_len": len(mv),
         }, separators=(",", ":"))
@@ -390,7 +397,7 @@ def make_typed_decoder(
         dead: list[tuple] = []  # (file_seq, gtid, event_seq, log_pos, text)
 
         def q_cb(fs, g, es, lp, payload, err):
-            dead.append((fs, g, es, lp, corrupt_text(payload, err)))
+            dead.append((fs, g, es, lp, corrupt_text(payload, err, framed=False)))
 
         n = 0
         for blob, file_seq, gtid, event_seq in packet_iter:

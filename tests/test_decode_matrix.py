@@ -167,12 +167,22 @@ class TestTortureMatrix:
 
 
 class TestSessionSemantics:
-    def test_uncached_table_skipped(self):
+    def test_uncached_table_raises(self):
+        """DELIBERATE divergence from the reference (round 6): the
+        reference's log printer silently skips ROWS whose table_id has no
+        cached TABLE_MAP (binlog_reader.zig:260-262).  A state engine
+        claiming exactly-once table-state match cannot — an unmapped id
+        means the announcement was corrupt or lost, and dropping the rows
+        is data loss masquerading as filtering.  Fail-fast mode raises
+        (quarantine mode dead-letters instead); INTENTIONALLY filtered
+        tables still skip silently (test_table_filter.py)."""
         w = EventWriter()
         w.format_description()
-        # no table_map for id 9 → rows must be skipped silently
-        w.write_rows(9, TORTURE, [ROW])
-        assert _decode_rows(w, 0) == []
+        w.write_rows(9, TORTURE, [ROW])  # no table_map for id 9
+        sess = BinlogSession()
+        with pytest.raises(ValueError, match="unmapped table_id"):
+            for _, pkt in w.events:
+                list(sess.process_packet(pkt, file_seq=1))
 
     def test_last_table_map_wins(self):
         narrow = TableSchema("t", "torture", TORTURE.columns[:2])

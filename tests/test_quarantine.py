@@ -439,3 +439,43 @@ class TestTypedPathQuarantine:
         }
         assert typed_state == env_state
         assert len(typed_state) == 40
+
+
+class TestTableMapCorruption:
+    """Corruption in SCHEMA-state events: a corrupt TABLE_MAP dead-letters
+    itself, events that depend on it dead-letter too (no schema to decode
+    with), and the stream RECOVERS at the next good re-announce — real
+    binlogs re-announce TABLE_MAP before every statement, so one corrupt
+    announcement costs one statement, not the tail."""
+
+    def test_corrupt_table_map_quarantines_and_reannounce_recovers(self, spark):
+        w = EventWriter(server_id=1)
+        w.format_description()
+        w.table_map(5, TRANSCRIPTS_SCHEMA)
+        w.write_rows(5, TRANSCRIPTS_SCHEMA, _rows(10, start=0))
+        w.write_rows(5, TRANSCRIPTS_SCHEMA, _rows(10, start=10))
+        w.table_map(5, TRANSCRIPTS_SCHEMA)  # the re-announce
+        w.write_rows(5, TRANSCRIPTS_SCHEMA, _rows(10, start=20))
+        rows = []
+        tm_seen = 0
+        for event_seq, (offset, pkt) in enumerate(w.events, start=1):
+            blob = bytearray(pkt)
+            if blob[5] == 19:  # TABLE_MAP
+                tm_seen += 1
+                if tm_seen == 1:
+                    blob = blob[: len(blob) // 2]  # corrupt the FIRST one
+            rows.append((1, offset, event_seq, event_seq, blob[5], bytes(blob)))
+        from myzql_binlog_connector_spark.sources.segments import EVENTS_SCHEMA
+
+        env = decode_changes(
+            spark.createDataFrame(rows, EVENTS_SCHEMA), on_error="quarantine"
+        ).persist()
+        good = env.filter("dml_type != '_corrupt'")
+        # only the post-re-announce statement decodes
+        assert good.count() == 10
+        texts = {r[0] for r in good.select(
+            F.get_json_object("after_values", "$.c0")).collect()}
+        assert texts == {f"conv-{i}" for i in range(20, 30)}
+        # dead letters: the corrupt TABLE_MAP + the two orphaned ROWS events
+        assert env.filter("dml_type = '_corrupt'").count() == 3
+        env.unpersist()
