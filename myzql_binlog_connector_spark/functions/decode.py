@@ -680,7 +680,16 @@ def scan_schemas(events_df: DataFrame) -> DataFrame:
                     continue
                 seen.add(raw_key)
                 body = blob[1 : len(blob) - CRC_LEN]
-                _tid, schema = parse_table_map(body[HEADER_LEN:])
+                try:
+                    _tid, schema = parse_table_map(body[HEADER_LEN:])
+                except Exception:
+                    # corrupt announcement: this PRE-PASS only discovers
+                    # schemas, so skip it — real binlogs re-announce per
+                    # statement and a good copy (different raw bytes)
+                    # still lands here.  The decode stage decides the
+                    # corrupt event's fate: raise in fail-fast mode,
+                    # dead-letter in quarantine mode.
+                    continue
                 desc = _json.dumps(
                     [[c.type_code, c.meta, int(c.nullable)] for c in schema.columns],
                     separators=(",", ":"),

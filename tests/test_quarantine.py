@@ -441,6 +441,49 @@ class TestTypedPathQuarantine:
         assert len(typed_state) == 40
 
 
+class TestTypedPathTableMapCorruption:
+    """apply_files(on_error='quarantine') over a stream whose FIRST
+    TABLE_MAP announcement is corrupt: the schema pre-pass skips the bad
+    copy (scan_schemas), the corrupt announcement and its orphaned ROWS
+    events dead-letter, and decode resumes at the statement whose good
+    re-announce follows — the full typed-path story for schema-state
+    corruption."""
+
+    def test_corrupt_first_announce_recovers_at_reannounce(self, spark, tmp_path):
+        from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        w = EventWriter(server_id=1)
+        w.format_description()
+        w.table_map(5, TRANSCRIPTS_SCHEMA)
+        w.write_rows(5, TRANSCRIPTS_SCHEMA, _rows(10, start=0))
+        w.table_map(5, TRANSCRIPTS_SCHEMA)  # per-statement re-announce
+        w.write_rows(5, TRANSCRIPTS_SCHEMA, _rows(10, start=10))
+        packets, tm_seen = [], 0
+        for off, pkt in w.events:
+            blob = pkt
+            if pkt[5] == 19:  # TABLE_MAP
+                tm_seen += 1
+                if tm_seen == 1:
+                    blob = pkt[: len(pkt) // 2]
+            packets.append((off, blob))
+        seg_dir = tmp_path / "segs"
+        seg_dir.mkdir()
+        _write_segment(packets, seg_dir / "segment-000001.parquet")
+        table = BucketedLakeTable(
+            spark, str(tmp_path / "lake"), ["conv_id", "turn_idx"], n_buckets=4
+        )
+        rec = TranscriptsApplier(spark, table, salt=None).apply_files(
+            [str(seg_dir / "segment-000001.parquet")],
+            batch_id=0,
+            on_error="quarantine",
+        )
+        # corrupt TABLE_MAP + its one orphaned ROWS event dead-letter
+        assert rec["quarantined_rows"] == 2
+        got = {(r.conv_id, r.turn_idx) for r in table.read().collect()}
+        assert got == {(f"conv-{i}", i) for i in range(10, 20)}
+
+
 class TestTableMapCorruption:
     """Corruption in SCHEMA-state events: a corrupt TABLE_MAP dead-letters
     itself, events that depend on it dead-letter too (no schema to decode
