@@ -578,6 +578,8 @@ def _utf8_checked(arr: pa.Array, data: "np.ndarray | None" = None) -> pa.Array:
     short-circuits the common case; otherwise one vectorized C++
     validation pass runs, and only a column that really contains corrupt
     bytes takes the per-value repair."""
+    if os.environ.get("SPARK_GRAFT_NO_UTF8_CHECK"):
+        return arr  # measurement kill-switch (same pattern as NO_ROWVEC)
     if data is not None and (data.size == 0 or int(data.max()) < 0x80):
         return arr  # pure ASCII is always valid UTF-8
     try:
