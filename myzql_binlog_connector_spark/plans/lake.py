@@ -146,12 +146,78 @@ class BucketedLakeTable:
         return os.path.join(self.path, MANIFEST_DIR)
 
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self._mdir(), LATEST))
+        return self._latest_committed() is not None
+
+    def _latest_committed(self) -> int | None:
+        """Resolve the newest committed version, rolling forward any
+        commit a crash left half-finished.
+
+        The ``os.link`` of ``v{N}.json`` in :meth:`_commit` IS the commit
+        point; the ``LATEST`` swap afterwards is only a pointer move.  A
+        crash between the two (or before the very first swap) leaves a
+        fully-committed manifest the pointer doesn't reach — readers would
+        silently serve version N-1, and the restarted writer would be
+        permanently wedged: every retry recomputes version N and hits the
+        CAS with no live competitor.  Recovery is roll-forward, never
+        roll-back: finish the orphaned commit (append its lineage record
+        if the crash lost it, swap ``LATEST``) and return N.
+        """
+        mdir = self._mdir()
+        latest = None
+        try:
+            with open(os.path.join(mdir, LATEST)) as f:
+                latest = int(f.read().strip())
+        except FileNotFoundError:
+            latest = None
+        n = (latest or 0) + 1
+        newest = latest
+        while os.path.exists(os.path.join(mdir, f"v{n}.json")):
+            newest = n
+            n += 1
+        if newest is not None and newest != latest:
+            self._finish_commit(newest)
+        return newest
+
+    def _finish_commit(self, version: int) -> None:
+        """Complete a commit whose ``v{version}.json`` link landed but
+        whose metrics append / ``LATEST`` swap did not (crash recovery).
+        Idempotent: racing recoveries both swap to the same version and
+        the metrics append is version-guarded."""
+        m = self._read_manifest(version)
+        lineage = m.get("lineage") or []
+        if lineage:
+            self._append_metrics(lineage[-1])
+        tmp = os.path.join(self._mdir(), f".latest.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(self._mdir(), LATEST))
+
+    def _append_metrics(self, record: dict) -> None:
+        """Append one lineage record to the durable metrics log unless a
+        record for the same version is already the tail.  Both the normal
+        commit path and crash recovery call this, and watermark-only
+        commits reuse the previous batch's lineage tail — the guard keeps
+        metrics.jsonl at exactly one line per producing commit."""
+        path = os.path.join(self._mdir(), "metrics.jsonl")
+        try:
+            size = os.path.getsize(path)
+            with open(path, "rb") as f:
+                f.seek(max(0, size - 65536))
+                tail = f.read().splitlines()
+            if tail and json.loads(tail[-1]).get("version") == record.get("version"):
+                return
+        except (FileNotFoundError, json.JSONDecodeError):
+            pass
+        with open(path, "a") as f:
+            f.write(json.dumps(record) + "\n")
 
     def _read_manifest(self, version: int | None = None) -> dict:
         if version is None:
-            with open(os.path.join(self._mdir(), LATEST)) as f:
-                version = int(f.read().strip())
+            version = self._latest_committed()
+            if version is None:
+                raise FileNotFoundError(
+                    f"no committed manifest at {self._mdir()}"
+                )
         mpath = os.path.join(self._mdir(), f"v{version}.json")
         if not os.path.exists(mpath):
             raise ValueError(
@@ -201,12 +267,11 @@ class BucketedLakeTable:
             os.remove(mtmp)
         # append the commit's lineage record to the durable metrics log
         # (A2: per-micro-batch lineage/metrics rows, queryable via
-        # :meth:`metrics`); the jsonl append lands before the LATEST swap so
-        # a crash between the two never loses a committed batch's record
+        # :meth:`metrics`); a crash anywhere after the link above is
+        # finished by roll-forward recovery in _latest_committed()
         lineage = manifest.get("lineage") or []
         if lineage:
-            with open(os.path.join(self._mdir(), "metrics.jsonl"), "a") as f:
-                f.write(json.dumps(lineage[-1]) + "\n")
+            self._append_metrics(lineage[-1])
         tmp = os.path.join(self._mdir(), f".latest.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(version))

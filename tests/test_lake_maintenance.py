@@ -795,3 +795,173 @@ class TestDeferredFold:
         m = t._read_manifest()
         assert max(len(fl) for fl in m["files"].values()) <= 4  # folds inline
         assert t.needs_fold() == []
+
+
+class TestCrashRecovery:
+    """Commit-protocol crash sweep.  The ``os.link`` of ``v{N}.json`` is
+    the commit point; the metrics append and ``LATEST`` swap after it are
+    finished by roll-forward recovery (``_latest_committed``) on the next
+    open.  Inject a crash into each gap of the sequence and assert: no
+    committed batch is lost, no uncommitted batch appears, the restarted
+    writer is never wedged by its own orphan (the spurious
+    ``ConcurrentWriteError`` a pointer-only resolution would produce), and
+    ``metrics.jsonl`` holds exactly one line per producing commit."""
+
+    @staticmethod
+    def _state(t):
+        return {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+
+    @staticmethod
+    def _fresh(spark, path):
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        return BucketedLakeTable(
+            spark, path, ["conv_id", "turn_idx"], n_buckets=4
+        )
+
+    @staticmethod
+    def _metric_versions(path):
+        import json as _json
+
+        mpath = os.path.join(path, "_manifests", "metrics.jsonl")
+        with open(mpath) as f:
+            return [_json.loads(ln)["version"] for ln in f if ln.strip()]
+
+    def test_crash_before_link_batch_never_committed(self, spark, tmp_path):
+        """Crash before the manifest link: the batch is NOT committed —
+        restart sees the prior state, and re-merging the same batch at the
+        same version succeeds (no wedge from the orphan data dir)."""
+        path = str(tmp_path / "t")
+        t = self._fresh(spark, path)
+        t.merge(_mk_changes(spark, [("a", 0, "v1", 1, False)]), batch_id=0)
+
+        def crash(_manifest):
+            raise RuntimeError("injected crash before commit")
+
+        t._commit = crash
+        with pytest.raises(RuntimeError, match="before commit"):
+            t.merge(_mk_changes(spark, [("a", 1, "v2", 2, False)]), batch_id=1)
+
+        t2 = self._fresh(spark, path)
+        assert self._state(t2) == {("a", 0): "v1"}
+        assert t2.snapshot_manifest()["version"] == 1
+        # redelivery of the crashed batch lands at the version the crash
+        # abandoned — no spurious ConcurrentWriteError
+        t2.merge(_mk_changes(spark, [("a", 1, "v2", 2, False)]), batch_id=1)
+        t2.merge(_mk_changes(spark, [("a", 2, "v3", 3, False)]), batch_id=2)
+        assert self._state(t2) == {("a", 0): "v1", ("a", 1): "v2", ("a", 2): "v3"}
+        assert self._metric_versions(path) == [1, 2, 3]
+
+    def test_crash_after_link_before_metrics(self, spark, tmp_path, monkeypatch):
+        """Crash after the commit link but before the metrics append and
+        LATEST swap: the batch IS committed — recovery must surface it
+        (state, watermarks AND the lost metrics line), and the restarted
+        writer continues at the next version instead of wedging."""
+        import myzql_binlog_connector_spark.plans.lake as lake_mod
+
+        path = str(tmp_path / "t")
+        t = self._fresh(spark, path)
+        t.merge(_mk_changes(spark, [("a", 0, "v1", 1, False)]), batch_id=0)
+
+        real_link = os.link
+        armed = {"on": True}
+
+        def link_then_crash(src, dst, **kw):
+            real_link(src, dst, **kw)
+            if armed["on"]:
+                armed["on"] = False
+                raise RuntimeError("injected crash after link")
+
+        monkeypatch.setattr(lake_mod.os, "link", link_then_crash)
+        with pytest.raises(RuntimeError, match="after link"):
+            t.merge(
+                _mk_changes(spark, [("a", 1, "v2", 2, False)]),
+                batch_id=1,
+                extra_lineage={"watermarks": {"7": 42}},
+            )
+        # the crash left v2.json committed but LATEST still at 1 and no
+        # metrics line for v2
+        with open(os.path.join(path, "_manifests", "LATEST")) as f:
+            assert int(f.read().strip()) == 1
+        assert self._metric_versions(path) == [1]
+
+        t2 = self._fresh(spark, path)
+        assert self._state(t2) == {("a", 0): "v1", ("a", 1): "v2"}
+        # the committed watermark is visible — an applier-level redelivery
+        # of batch 1 would be watermark-filtered (exactly-once holds)
+        assert t2.watermarks().get("7") == 42
+        # recovery re-appended the lost metrics line, exactly once
+        assert self._metric_versions(path) == [1, 2]
+        t2.merge(_mk_changes(spark, [("a", 2, "v3", 3, False)]), batch_id=2)
+        assert self._state(t2) == {("a", 0): "v1", ("a", 1): "v2", ("a", 2): "v3"}
+        assert self._metric_versions(path) == [1, 2, 3]
+        assert t2.snapshot_manifest()["version"] == 3
+
+    def test_crash_after_metrics_before_latest_swap(self, spark, tmp_path, monkeypatch):
+        """Crash between the metrics append and the LATEST swap: recovery
+        finishes the swap and must NOT duplicate the already-appended
+        metrics line."""
+        import myzql_binlog_connector_spark.plans.lake as lake_mod
+
+        path = str(tmp_path / "t")
+        t = self._fresh(spark, path)
+        t.merge(_mk_changes(spark, [("a", 0, "v1", 1, False)]), batch_id=0)
+
+        real_replace = os.replace
+        armed = {"on": True}
+
+        def replace_crash(src, dst):
+            if armed["on"] and os.path.basename(dst) == "LATEST":
+                armed["on"] = False
+                raise RuntimeError("injected crash before LATEST swap")
+            real_replace(src, dst)
+
+        monkeypatch.setattr(lake_mod.os, "replace", replace_crash)
+        with pytest.raises(RuntimeError, match="LATEST swap"):
+            t.merge(_mk_changes(spark, [("a", 1, "v2", 2, False)]), batch_id=1)
+        assert self._metric_versions(path) == [1, 2]  # append landed
+
+        t2 = self._fresh(spark, path)
+        assert self._state(t2) == {("a", 0): "v1", ("a", 1): "v2"}
+        assert self._metric_versions(path) == [1, 2]  # no duplicate
+        t2.merge(_mk_changes(spark, [("a", 2, "v3", 3, False)]), batch_id=2)
+        assert self._metric_versions(path) == [1, 2, 3]
+
+    def test_crash_before_first_latest_write(self, spark, tmp_path, monkeypatch):
+        """First-ever commit crashes between link and swap: no LATEST file
+        exists at all, but v1.json is committed — exists() must report the
+        table and recovery must finish the pointer."""
+        import myzql_binlog_connector_spark.plans.lake as lake_mod
+
+        path = str(tmp_path / "t")
+        t = self._fresh(spark, path)
+        real_replace = os.replace
+        armed = {"on": True}
+
+        def replace_crash(src, dst):
+            if armed["on"] and os.path.basename(dst) == "LATEST":
+                armed["on"] = False
+                raise RuntimeError("injected crash")
+            real_replace(src, dst)
+
+        monkeypatch.setattr(lake_mod.os, "replace", replace_crash)
+        with pytest.raises(RuntimeError, match="injected"):
+            t.merge(_mk_changes(spark, [("a", 0, "v1", 1, False)]), batch_id=0)
+        assert not os.path.exists(os.path.join(path, "_manifests", "LATEST"))
+
+        t2 = self._fresh(spark, path)
+        assert t2.exists()
+        assert self._state(t2) == {("a", 0): "v1"}
+        t2.merge(_mk_changes(spark, [("a", 1, "v2", 2, False)]), batch_id=1)
+        assert self._state(t2) == {("a", 0): "v1", ("a", 1): "v2"}
+
+    def test_watermark_only_commit_does_not_duplicate_metrics(self, spark, tmp_path):
+        """set_watermarks commits with the previous lineage tail unchanged
+        — the version-guarded append must not re-log the prior batch."""
+        path = str(tmp_path / "t")
+        t = self._fresh(spark, path)
+        t.merge(_mk_changes(spark, [("a", 0, "v1", 1, False)]), batch_id=0)
+        t.set_watermarks({"1": 10})
+        t.set_watermarks({"1": 20})
+        assert self._metric_versions(path) == [1]
+        assert t.watermarks()["1"] == 20
