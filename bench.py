@@ -426,6 +426,27 @@ def main():
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     ivf_cells = ivf_cell_stats(emb, stride=100)
 
+    # IVF recall at the bench geometry (round-6: same contract as the
+    # pinned minhash recall — visible per-round, so cell/nprobe tuning
+    # can't silently trade recall for speed; floor asserted in pytest)
+    from myzql_binlog_connector_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+    )
+
+    probes = emb.filter(emb.vec_id < 50)
+    _truth = {
+        (r.probe_id, r.neighbor_id)
+        for r in ann_topk_bruteforce(emb, probes, k=3)
+        .select("probe_id", "neighbor_id").collect()
+    }
+    _got = {
+        (r.probe_id, r.neighbor_id)
+        for r in ann_topk_ivf(emb, probes, k=3, stride=100, nprobe=3)
+        .select("probe_id", "neighbor_id").collect()
+    }
+    ivf_recall = round(len(_truth & _got) / max(1, len(_truth)), 4)
+
     total = round(sum(queries.values()), 3)
     out = {
         "metric": "headline_suite_sec",
@@ -446,6 +467,7 @@ def main():
         "cdc_decode_shuffle": dec_sh,
         "cdc_multitable": mt,
         "ivf_cells": ivf_cells,
+        "ivf_recall": ivf_recall,
         "scratch": "tmpfs" if os.path.isdir("/dev/shm")
                    and not os.environ.get("SPARK_GRAFT_BENCH_SCRATCH")
                    else "tempdir",

@@ -390,3 +390,64 @@ class TestMinhashRecall:
         row = entry.q_minhash_recall(spark, sf_dir).collect()[0]
         assert row.n_truth > 0
         assert row.recall >= 0.8, (row.n_truth, row.n_found)
+
+
+class TestIvfRecall:
+    """Pin IVF ANN recall against exact brute-force cosine top-k — the
+    same contract as TestMinhashRecall: a k-means, assignment, or nprobe
+    change can't silently trade recall away.
+
+    The synthetic embeddings are near-uniform on the sphere, so partial-
+    probe recall is governed by the searched-cell fraction (unlike real
+    clustered embeddings where it approaches 1.0) — the honest pins are
+    therefore (a) COMPLETENESS: nprobe == n_cells must reproduce the exact
+    brute-force result (any vector lost in assignment/join shows here),
+    and (b) partial probes must beat their raw coverage fraction by a
+    wide, deterministic margin (measured 0.767 at 60% coverage, 0.493 at
+    15% — the pipeline is RNG-free so these are stable numbers, pinned
+    just below)."""
+
+    @staticmethod
+    def _pairs(df):
+        return {(r.probe_id, r.neighbor_id) for r in df.select("probe_id", "neighbor_id").collect()}
+
+    def _truth_and_ivf(self, spark, stride, nprobe):
+        from pyspark.sql import functions as F
+
+        from myzql_binlog_connector_spark.operators import similarity
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        probes = emb.filter(F.col("vec_id") < 50)
+        truth = self._pairs(similarity.ann_topk_bruteforce(emb, probes, k=3))
+        got = self._pairs(similarity.ann_topk_ivf(emb, probes, k=3, stride=stride, nprobe=nprobe))
+        return truth, got
+
+    def test_full_probe_reproduces_bruteforce_exactly(self, spark):
+        """nprobe == n_cells: every vector is a candidate, and the shared
+        4dp-round + id tie-break ordering makes IVF's top-k set-identical
+        to brute force — recall exactly 1.0, no vector dropped by the
+        assignment max_by or the cell join."""
+        import os
+
+        import pytest as _pytest
+
+        if not os.path.isdir("/root/testdata/sf0.001"):
+            _pytest.skip("testdata not present")
+        truth, got = self._truth_and_ivf(spark, stride=25, nprobe=20)
+        assert truth == got
+
+    def test_partial_probe_beats_coverage(self, spark):
+        """Partial search must beat random-cell coverage: 3 of ~5 cells
+        (60% coverage) measured 0.767; 3 of ~20 cells (15% coverage)
+        measured 0.493 — 1.3x and 3.3x their coverage fractions."""
+        import os
+
+        import pytest as _pytest
+
+        if not os.path.isdir("/root/testdata/sf0.001"):
+            _pytest.skip("testdata not present")
+        truth, wide = self._truth_and_ivf(spark, stride=100, nprobe=3)
+        assert len(truth) == 150  # 50 probes x k=3
+        assert len(truth & wide) / len(truth) >= 0.75
+        _, narrow = self._truth_and_ivf(spark, stride=25, nprobe=3)
+        assert len(truth & narrow) / len(truth) >= 0.45
