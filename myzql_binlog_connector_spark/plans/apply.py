@@ -106,12 +106,27 @@ def _desc_matches(table_filter, database: str | None, table: str | None) -> bool
     return bool(table_filter(database, table))
 
 
+class SchemaNarrowingError(ValueError):
+    """A TABLE_MAP announced FEWER columns than are configured for the
+    table.  The binlog row format (without ``binlog_row_metadata=FULL``)
+    carries no column names, so a dropped column is positionally
+    ambiguous: mapping the narrower row onto the configured name list
+    would silently shift every value after the dropped position into the
+    wrong column (the classic post-``ALTER TABLE ... DROP COLUMN``
+    corruption).  Pass ``narrowed_names={count: [surviving names in
+    order]}`` to the applier to declare which columns survived."""
+
+
 class TranscriptsApplier:
     """Apply decoded transcript changes into a BucketedLakeTable.
 
     ``column_names`` maps envelope positions c0..cN to logical names; new
     columns appearing mid-stream (TABLE_MAP evolution) get the next name in
-    ``extra_names`` or ``c{i}``.
+    ``extra_names`` or ``c{i}``.  A NARROWER TABLE_MAP (``ALTER TABLE ...
+    DROP COLUMN``) raises :class:`SchemaNarrowingError` unless
+    ``narrowed_names={count: [surviving names in configured order]}``
+    declares the mapping — dropped columns read as NULL from then on, and
+    the lake column survives (merge null-pads absent columns).
     """
 
     def __init__(
@@ -122,6 +137,7 @@ class TranscriptsApplier:
         extra_names: list[str] = ("score",),
         key_positions: tuple[int, int] = (0, 1),
         salt: int | None = None,
+        narrowed_names: dict[int, list[str]] | None = None,
     ):
         self.spark = spark
         self.table = table
@@ -129,6 +145,9 @@ class TranscriptsApplier:
         self.extra_names = list(extra_names)
         self.key_positions = key_positions
         self.salt = salt
+        self.narrowed_names = {
+            int(k): list(v) for k, v in (narrowed_names or {}).items()
+        }
 
     def _name_for(self, i: int) -> str:
         if i < len(self.column_names):
@@ -137,6 +156,51 @@ class TranscriptsApplier:
         if j < len(self.extra_names):
             return self.extra_names[j]
         return f"c{i}"
+
+    def _names_for_count(self, n: int) -> list[str]:
+        """Logical names for a TABLE_MAP of ``n`` columns.  ``n`` at or
+        above the configured width is the add-column convention (appended
+        positions take ``extra_names`` / ``c{i}``); below it the mapping
+        is ambiguous without an explicit ``narrowed_names`` declaration
+        and raising beats silently shifting values (see
+        :class:`SchemaNarrowingError`)."""
+        base = len(self.column_names)
+        if n >= base:
+            return [self._name_for(i) for i in range(n)]
+        nn = self.narrowed_names.get(n)
+        if nn is None:
+            raise SchemaNarrowingError(
+                f"TABLE_MAP announces {n} columns but {base} are configured "
+                f"({self.column_names}) — a dropped column is positionally "
+                f"ambiguous in the binlog row format, and decoding the "
+                f"narrower rows against the configured names would shift "
+                f"values into the wrong columns.  Declare the surviving "
+                f"columns: narrowed_names={{{n}: [...]}}"
+            )
+        if len(nn) != n:
+            raise ValueError(
+                f"narrowed_names[{n}] has {len(nn)} names, need exactly {n}"
+            )
+        unknown = [x for x in nn if x not in self.column_names]
+        if unknown:
+            raise ValueError(
+                f"narrowed_names[{n}] names columns not in the configured "
+                f"schema: {unknown}"
+            )
+        idxs = [self.column_names.index(x) for x in nn]
+        if idxs != sorted(idxs):
+            raise ValueError(
+                f"narrowed_names[{n}] must preserve the configured column "
+                f"order (a DROP never reorders survivors): {nn}"
+            )
+        key_names = [self.column_names[p] for p in self.key_positions]
+        dropped_keys = [k for k in key_names if k not in nn]
+        if dropped_keys:
+            raise ValueError(
+                f"narrowed_names[{n}] drops key column(s) {dropped_keys} — "
+                f"the merge key cannot be dropped"
+            )
+        return list(nn)
 
     # ------------------------------------------------------------------
 
@@ -152,7 +216,14 @@ class TranscriptsApplier:
         Dead-letter rows (``dml_type='_corrupt'``, produced by decode's
         quarantine mode) are excluded here — they carry no payload and
         must never merge; route them separately with
-        ``envelope.filter("dml_type = '_corrupt'")``."""
+        ``envelope.filter("dml_type = '_corrupt'")``.
+
+        A TABLE_MAP NARROWER than the configured schema (``ALTER TABLE
+        ... DROP COLUMN``) raises :class:`SchemaNarrowingError` unless
+        ``narrowed_names`` declares the surviving columns; with the
+        declaration, rows are remapped per descriptor width (a cheap
+        ``payload_schema IN (...)`` split over the handful of distinct
+        descriptors — the steady-state single-width path is untouched)."""
         envelope = envelope.filter(F.col("dml_type") != "_corrupt")
         if descs is None:
             descs = [
@@ -162,6 +233,37 @@ class TranscriptsApplier:
             ]
         if not descs:
             descs = ["[]"]
+        base = len(self.column_names)
+        by_count: dict[int, list[str]] = {}
+        for d in dict.fromkeys(descs):
+            by_count.setdefault(len(json.loads(d)), []).append(d)
+        if base == 0 or min(by_count) >= base:
+            names = [self._name_for(i) for i in range(max(by_count))]
+            return self._typed_uniform(envelope, descs, names, self.key_positions)
+        # narrowing present: remap each descriptor-width group through its
+        # declared surviving-name list, then union (widest group first so
+        # the output keeps the configured column order)
+        key_names = [self.column_names[p] for p in self.key_positions]
+        frames = []
+        for n in sorted(by_count, reverse=True):
+            names = self._names_for_count(n)
+            keys = tuple(names.index(k) for k in key_names)
+            subset = envelope.filter(F.col("payload_schema").isin(by_count[n]))
+            frames.append(self._typed_uniform(subset, by_count[n], names, keys))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
+    def _typed_uniform(
+        self,
+        envelope: DataFrame,
+        descs: list[str],
+        names: list[str],
+        key_positions: tuple[int, ...],
+    ) -> DataFrame:
+        """Positional envelope → typed rows for ONE consistent name
+        mapping (position i ↔ ``names[i]`` for every desc in the group)."""
         struct = payload_struct_from_descs(descs)
         # TIMESTAMP columns parse as strings first, then pin to UTC —
         # from_json with TimestampType would use the session time zone
@@ -196,10 +298,10 @@ class TranscriptsApplier:
         ]
         cols = []
         for i, field in enumerate(struct.fields):
-            name = self._name_for(i)
+            name = names[i]
             src = (
                 F.coalesce(F.col(f"_after.c{i}"), F.col(f"_before.c{i}"))
-                if i in self.key_positions
+                if i in key_positions
                 else F.col(f"_after.c{i}")
             )
             cols.append(typed(src, field).alias(name))
@@ -215,15 +317,15 @@ class TranscriptsApplier:
         # which lives under the new key)
         key_change = F.col("dml_type") == F.lit("UPDATE")
         diff = F.lit(False)
-        for i in self.key_positions:
+        for i in key_positions:
             diff = diff | ~F.col(f"_before.c{i}").eqNullSafe(F.col(f"_after.c{i}"))
         tomb_src = df.filter(key_change & diff & F.col("before_values").isNotNull())
         tcols = []
         for i, field in enumerate(struct.fields):
-            name = self._name_for(i)
+            name = names[i]
             src = (
                 F.col(f"_before.c{i}")
-                if i in self.key_positions
+                if i in key_positions
                 else F.lit(None).cast(parse_struct.fields[i].dataType)
             )
             tcols.append(typed(src, field).alias(name))
@@ -280,6 +382,29 @@ class TranscriptsApplier:
             ]
         if not descs:
             return {"batch_id": batch_id, "skipped": True, "input_rows": 0}
+        base = len(self.column_names)
+        if base and any(len(json.loads(d)) < base for d in set(descs)):
+            # schema narrowing (DROP COLUMN) in this batch: the typed
+            # kernel is positional end-to-end, so route this batch through
+            # the envelope path's per-descriptor remap (typed_changes).
+            # DDL drops are one-batch rarities — steady state stays on the
+            # zero-shuffle typed kernel; validation raises
+            # SchemaNarrowingError up front when no narrowed_names is
+            # declared, which beats positionally-shifted corruption.
+            from ..functions.decode import decode_changes
+
+            for n in {len(json.loads(d)) for d in set(descs)}:
+                if n < base:
+                    self._names_for_count(n)
+            env = decode_changes(
+                self.spark.read.parquet(*paths),
+                table_filter=table_filter,
+                stop_position=stop_position,
+                on_error="quarantine" if on_error == "quarantine" else "raise",
+            )
+            rec = self.apply_envelope_subset(env, batch_id, descs)
+            rec["narrowed_route"] = True
+            return rec
         struct = payload_struct_from_descs(descs)
         names = [self._name_for(i) for i in range(len(struct.fields))]
         kinds = _payload_kinds(descs)
@@ -492,8 +617,9 @@ class MultiTableApplier:
     any registration step.
 
     ``table_specs``: optional {(db, table): {"column_names": [...],
-    "key_positions": (...), "n_buckets": N}} overrides; unlisted tables
-    default to position-named columns (c0..cN) keyed on position 0.
+    "key_positions": (...), "n_buckets": N, "narrowed_names": {...}}}
+    overrides; unlisted tables default to position-named columns (c0..cN)
+    keyed on position 0 (position naming never narrows — any width maps).
     """
 
     def __init__(
@@ -575,6 +701,7 @@ class MultiTableApplier:
                     column_names=names or (),
                     extra_names=(),
                     key_positions=tuple(keys),
+                    narrowed_names=spec.get("narrowed_names"),
                 )
                 subset = envelope.filter(
                     (F.col("database") == db) & (F.col("table_name") == tbl)
