@@ -82,6 +82,16 @@ def payload_struct_from_descs(descs: list[str]) -> T.StructType:
                     "double",
                 }:
                     widest[i] = widest[i] if rank[a] >= rank[b] else st
+                elif (
+                    isinstance(widest[i], T.DecimalType)
+                    and isinstance(st, T.DecimalType)
+                    and widest[i].scale == st.scale
+                ):
+                    # DECIMAL precision widen, same scale (the
+                    # Iceberg-compatible direction); scale changes fall
+                    # through to the exact-fidelity string fallback
+                    if st.precision > widest[i].precision:
+                        widest[i] = st
                 else:
                     widest[i] = T.StringType()
     return T.StructType(

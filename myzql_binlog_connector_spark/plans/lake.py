@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -65,6 +66,13 @@ def _widened(old: str, new: str) -> str | None:
         return _WIDEN[(old, new)]
     if (new, old) in _WIDEN:
         return _WIDEN[(new, old)]  # incoming narrower than stored: keep stored
+    # decimal(P,S) → decimal(P',S), any precision direction, same scale
+    # (Iceberg's permitted decimal evolution); a scale change stays
+    # incompatible
+    mo = re.fullmatch(r"decimal\((\d+),(\d+)\)", old)
+    mn = re.fullmatch(r"decimal\((\d+),(\d+)\)", new)
+    if mo and mn and mo.group(2) == mn.group(2):
+        return old if int(mo.group(1)) >= int(mn.group(1)) else new
     return None
 
 

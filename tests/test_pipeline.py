@@ -271,3 +271,136 @@ class TestSchemaEvolution:
         assert dict(state.dtypes)["turn_idx"] == "bigint"
         vals = {r["turn_idx"] for r in state.collect()}
         assert vals == {0, 1 << 40}
+
+    def test_decimal_precision_widen(self, spark, tmp_path):
+        """DECIMAL(10,2)→DECIMAL(14,2) mid-stream (same scale) widens the
+        lake column — Iceberg's permitted decimal evolution — both within
+        one batch (struct union) and across commits (_widened); a later
+        narrower map keeps the stored width."""
+        from decimal import Decimal
+
+        from myzql_binlog_connector_spark.binlog.constants import ColumnType
+        from myzql_binlog_connector_spark.binlog.encoder import (
+            ColumnSpec,
+            EventWriter,
+            TableSchema,
+            long_col,
+            varchar,
+        )
+        from myzql_binlog_connector_spark.genlog import (
+            GeneratedStream,
+            write_segments_parquet,
+        )
+
+        def schema(precision):
+            return TableSchema(
+                "chat",
+                "transcripts",
+                (
+                    varchar(64, nullable=False),
+                    long_col(nullable=False),
+                    ColumnSpec(ColumnType.NEWDECIMAL, (precision << 8) | 2, True),
+                ),
+            )
+
+        def seg(seq, precision, rows):
+            w = EventWriter()
+            w.format_description()
+            w.table_map(5, schema(precision))
+            w.write_rows(5, schema(precision), rows)
+            w.rotate(f"binlog.{seq + 1:06d}")
+            s = GeneratedStream(
+                segments=[(seq, [(o, i, i, p) for i, (o, p) in enumerate(w.events)])]
+            )
+            write_segments_parquet(s, str(tmp_path / f"seg{seq}"))
+            return spark.read.parquet(str(tmp_path / f"seg{seq}"))
+
+        table = BucketedLakeTable(
+            spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=2
+        )
+        applier = TranscriptsApplier(
+            spark,
+            table,
+            column_names=("conv_id", "turn_idx", "amount"),
+            extra_names=(),
+            key_positions=(0, 1),
+        )
+        applier.apply_batch(
+            decode_changes(seg(1, 10, [("c1", 0, "12345678.90")])), batch_id=0
+        )
+        assert dict(table.read().dtypes)["amount"] == "decimal(10,2)"
+        applier.apply_batch(
+            decode_changes(seg(2, 14, [("c1", 1, "123456789012.34")])), batch_id=1
+        )
+        assert dict(table.read().dtypes)["amount"] == "decimal(14,2)"
+        evs = [e for rec in table.lineage() for e in rec.get("schema_evolution", [])]
+        assert any(e.startswith("widen:amount:decimal(10,2)->decimal(14,2)") for e in evs)
+        # a narrower map later (replica replaying an old segment shape)
+        # keeps the stored width
+        applier.apply_batch(
+            decode_changes(seg(3, 10, [("c1", 2, "9.99")])), batch_id=2
+        )
+        got = {
+            (r.conv_id, r.turn_idx): r.amount for r in table.read().collect()
+        }
+        assert dict(table.read().dtypes)["amount"] == "decimal(14,2)"
+        assert got == {
+            ("c1", 0): Decimal("12345678.90"),
+            ("c1", 1): Decimal("123456789012.34"),
+            ("c1", 2): Decimal("9.99"),
+        }
+
+    def test_decimal_widen_within_one_batch(self, spark, tmp_path):
+        from decimal import Decimal
+
+        from myzql_binlog_connector_spark.binlog.constants import ColumnType
+        from myzql_binlog_connector_spark.binlog.encoder import (
+            ColumnSpec,
+            EventWriter,
+            TableSchema,
+            long_col,
+            varchar,
+        )
+        from myzql_binlog_connector_spark.genlog import (
+            GeneratedStream,
+            write_segments_parquet,
+        )
+
+        def schema(precision):
+            return TableSchema(
+                "chat",
+                "transcripts",
+                (
+                    varchar(64, nullable=False),
+                    long_col(nullable=False),
+                    ColumnSpec(ColumnType.NEWDECIMAL, (precision << 8) | 2, True),
+                ),
+            )
+
+        w = EventWriter()
+        w.format_description()
+        w.table_map(5, schema(10))
+        w.write_rows(5, schema(10), [("c1", 0, "12345678.90")])
+        w.table_map(5, schema(14))
+        w.write_rows(5, schema(14), [("c1", 1, "123456789012.34")])
+        w.rotate("binlog.000002")
+        s = GeneratedStream(
+            segments=[(1, [(o, i, i, p) for i, (o, p) in enumerate(w.events)])]
+        )
+        write_segments_parquet(s, str(tmp_path / "seg"))
+        table = BucketedLakeTable(
+            spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=2
+        )
+        TranscriptsApplier(
+            spark,
+            table,
+            column_names=("conv_id", "turn_idx", "amount"),
+            extra_names=(),
+            key_positions=(0, 1),
+        ).apply_batch(decode_changes(spark.read.parquet(str(tmp_path / "seg"))), batch_id=0)
+        assert dict(table.read().dtypes)["amount"] == "decimal(14,2)"
+        got = {(r.conv_id, r.turn_idx): r.amount for r in table.read().collect()}
+        assert got == {
+            ("c1", 0): Decimal("12345678.90"),
+            ("c1", 1): Decimal("123456789012.34"),
+        }
