@@ -51,6 +51,11 @@ class ReplayConfig:
         default_factory=lambda: ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     )
     key_positions: tuple[int, ...] = (0, 1)
+    # DROP COLUMN declarations: {column_count: [surviving names in order]}
+    # (JSON object keys arrive as strings; the applier coerces to int).
+    # Without a declaration a narrower TABLE_MAP raises
+    # SchemaNarrowingError instead of silently shifting values.
+    narrowed_names: dict | None = None
     # capture-connection fields (reference config surface, accepted
     # verbatim): used by scripts/capture_daemon.py when the source is a
     # live server rather than a segment store
@@ -188,7 +193,11 @@ def run_replay(spark, config: ReplayConfig):
         n_buckets=config.n_buckets,
     )
     applier = TranscriptsApplier(
-        spark, table, column_names=config.column_names, key_positions=config.key_positions
+        spark,
+        table,
+        column_names=config.column_names,
+        key_positions=config.key_positions,
+        narrowed_names=config.narrowed_names,
     )
     import tempfile
 

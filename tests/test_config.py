@@ -170,3 +170,23 @@ class TestReferenceConfigVerbatim:
         cfg = ReplayConfig.from_json(_json.dumps(self.EXAMPLE))
         with pytest.raises(ConfigError, match="segments_path"):
             run_replay(spark, cfg)
+
+    def test_narrowed_names_plumbs_to_applier(self):
+        import json as _json
+
+        from myzql_binlog_connector_spark.config import ReplayConfig
+
+        cfg = ReplayConfig.from_json(_json.dumps({
+            "segments_path": "/tmp/seg",
+            "table_path": "/tmp/t",
+            "narrowed_names": {"5": ["conv_id", "turn_idx", "role", "text", "ts"]},
+        }))
+        assert cfg.narrowed_names == {"5": ["conv_id", "turn_idx", "role", "text", "ts"]}
+        # the applier coerces JSON string keys to int and validates on use
+        from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+
+        class _T:  # no Spark needed for constructor-level checks
+            pass
+
+        ap = TranscriptsApplier(None, _T(), narrowed_names=cfg.narrowed_names)
+        assert ap._names_for_count(5) == ["conv_id", "turn_idx", "role", "text", "ts"]
