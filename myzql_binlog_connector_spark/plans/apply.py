@@ -674,9 +674,23 @@ class MultiTableApplier:
         envelope: DataFrame,
         batch_id: int | None = None,
         raw_events: DataFrame | None = None,
+        parallelism: int | None = None,
     ) -> dict:
         """Route the batch per (database, table) and merge each into its own
-        lake table.  Returns {(db, table): commit_record}."""
+        lake table.  Returns {(db, table): commit_record}.
+
+        ``parallelism``: per-table merges are independent Spark jobs over
+        the SAME persisted envelope (separate table dirs, separate CAS
+        locks), so they submit concurrently — Spark's scheduler interleaves
+        their tasks and the serialized per-table driver/job overhead
+        (watermark collect, manifest IO) overlaps.  Defaults to
+        ``min(4, n_tables)``; pass 1 to force the sequential path.  A
+        per-table failure leaves that table un-merged while others commit —
+        the same partial-commit state the sequential loop can leave, and
+        equally recoverable: redelivering the batch is a watermark-gated
+        no-op for the tables that committed."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..functions.decode import scan_schemas
 
         # the envelope is filtered once per (db, table) below — persist in
@@ -698,27 +712,31 @@ class MultiTableApplier:
             by_table.setdefault((r["database"], r["table_name"]), []).append(
                 r["payload_schema"]
             )
-        records = {}
+        def one(db, tbl, descs):
+            spec = self.table_specs.get((db, tbl), {})
+            names = spec.get("column_names")
+            keys = spec.get("key_positions", self.default_key_positions)
+            table = self.table_for(db, tbl)
+            applier = TranscriptsApplier(
+                self.spark,
+                table,
+                column_names=names or (),
+                extra_names=(),
+                key_positions=tuple(keys),
+                narrowed_names=spec.get("narrowed_names"),
+            )
+            subset = envelope.filter(
+                (F.col("database") == db) & (F.col("table_name") == tbl)
+            )
+            return applier.apply_envelope_subset(subset, batch_id, descs)
+
+        work = sorted(by_table.items())
+        n_workers = max(1, min(parallelism or 4, len(work)))
         try:
-            for (db, tbl), descs in sorted(by_table.items()):
-                spec = self.table_specs.get((db, tbl), {})
-                names = spec.get("column_names")
-                keys = spec.get("key_positions", self.default_key_positions)
-                table = self.table_for(db, tbl)
-                applier = TranscriptsApplier(
-                    self.spark,
-                    table,
-                    column_names=names or (),
-                    extra_names=(),
-                    key_positions=tuple(keys),
-                    narrowed_names=spec.get("narrowed_names"),
-                )
-                subset = envelope.filter(
-                    (F.col("database") == db) & (F.col("table_name") == tbl)
-                )
-                records[(db, tbl)] = applier.apply_envelope_subset(
-                    subset, batch_id, descs
-                )
-            return records
+            if n_workers == 1:
+                return {k: one(*k, descs) for k, descs in work}
+            with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                futs = {k: ex.submit(one, *k, descs) for k, descs in work}
+                return {k: f.result() for k, f in futs.items()}
         finally:
             envelope.unpersist()

@@ -137,3 +137,54 @@ def test_streaming_replay_with_multitable(spark, tmp_path):
     ).run_to_completion()
     assert mt.table_for("app", "users").read().count() == 2
     assert mt.table_for("chat", "transcripts").read().count() == 1
+
+
+def _six_table_stream():
+    """Six distinct user-style tables so the thread pool (4 workers) has
+    more tables than workers — exercises queueing and reuse."""
+    w = EventWriter(server_id=1)
+    w.format_description()
+    schemas = []
+    for i in range(6):
+        s = TableSchema(
+            database="app",
+            table=f"t{i}",
+            columns=(
+                ColumnSpec(ColumnType.LONGLONG, 0, False),
+                ColumnSpec(ColumnType.VARCHAR, 64),
+            ),
+            column_names=("id", "val"),
+        )
+        schemas.append(s)
+        w.table_map(20 + i, s)
+    for i, s in enumerate(schemas):
+        w.write_rows(20 + i, s, [(n, f"t{i}-{n}") for n in range(5)])
+        w.update_rows(20 + i, s, [((0, f"t{i}-0"), (0, f"t{i}-0v2"))])
+    w.rotate("binlog.000002")
+    return w
+
+
+def test_parallel_apply_matches_sequential(spark, tmp_path):
+    """apply_batch(parallelism=4) over 6 tables commits the same state the
+    sequential loop (parallelism=1) does — per-table merges are independent
+    jobs over the shared persisted envelope."""
+    env = decode_changes(_events_df_from_writer(spark, [_six_table_stream()]))
+    specs = {
+        ("app", f"t{i}"): {
+            "column_names": ["id", "val"], "key_positions": (0,), "n_buckets": 4,
+        }
+        for i in range(6)
+    }
+    seq = MultiTableApplier(spark, str(tmp_path / "seq"), table_specs=specs)
+    par = MultiTableApplier(spark, str(tmp_path / "par"), table_specs=specs)
+    rec_seq = seq.apply_batch(env, batch_id=0, parallelism=1)
+    rec_par = par.apply_batch(env, batch_id=0, parallelism=4)
+    assert set(rec_seq) == set(rec_par) == {("app", f"t{i}") for i in range(6)}
+    for i in range(6):
+        a = {(r.id, r.val) for r in seq.table_for("app", f"t{i}").read().collect()}
+        b = {(r.id, r.val) for r in par.table_for("app", f"t{i}").read().collect()}
+        assert a == b
+        assert (0, f"t{i}-0v2") in a and len(a) == 5
+    # redelivery through the parallel path is a per-table no-op too
+    rec2 = par.apply_batch(env, batch_id=1, parallelism=4)
+    assert all(r.get("skipped") for r in rec2.values())
