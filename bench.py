@@ -348,6 +348,69 @@ def bench_multitable(spark) -> dict:
     }
 
 
+def bench_point_lookup(spark, sf_tag: str, n_buckets: int = 32) -> dict:
+    """Key-lookup bucket pruning vs full-scan filter on the merged table.
+    At 100 TB a point lookup must plan 1 bucket of tens of thousands, not
+    scan the table — this pins the pruned read's advantage (and that it
+    returns the same rows) at the bench scale."""
+    import glob
+
+    from pyspark.sql.functions import col as F_col
+
+    from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+    from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+    seg_dir, _n_ops = ensure_cdc_fixture(sf_tag)
+    run_dir = scratch_dir("bench_lookup_")
+    try:
+        paths = sorted(glob.glob(os.path.join(seg_dir, "*.parquet")))
+        table = BucketedLakeTable(
+            spark, run_dir, ["conv_id", "turn_idx"], n_buckets=n_buckets
+        )
+        TranscriptsApplier(spark, table, salt=None).apply_files(paths, batch_id=0)
+        probe = [
+            {"conv_id": r.conv_id, "turn_idx": r.turn_idx}
+            for r in table.read().limit(8).collect()
+        ]
+
+        def run_pruned():
+            return sum(table.read(keys=k).count() for k in probe)
+
+        def run_full():
+            cond = None
+            for k in probe:
+                c = (F_col("conv_id") == k["conv_id"]) & (
+                    F_col("turn_idx") == k["turn_idx"]
+                )
+                cond = c if cond is None else (cond | c)
+            return table.read().filter(cond).count()
+
+        n_hit = run_pruned()  # warm
+        assert n_hit == run_full() == len(probe)
+        pruned_trials, full_trials = [], []
+        for _ in range(2):
+            t0 = time.monotonic()
+            run_pruned()
+            pruned_trials.append(round(time.monotonic() - t0, 3))
+            t0 = time.monotonic()
+            run_full()
+            full_trials.append(round(time.monotonic() - t0, 3))
+        pruned, full = min(pruned_trials), min(full_trials)
+        return {
+            "pruned_sec": pruned,
+            "pruned_trials": pruned_trials,
+            "full_sec": full,
+            "full_trials": full_trials,
+            "lookups": len(probe),
+            # pruned runs 8 separate jobs vs full's one OR-filter scan and
+            # still must win on scanned bytes; speedup grows with bucket
+            # count (1/n_buckets of files per lookup)
+            "speedup": round(full / pruned, 2),
+        }
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+
+
 HEADLINE = [
     "lww_dedup_events",
     "lww_dedup_salted_events",
@@ -392,6 +455,8 @@ def main():
     queries["cdc_decode_shuffle"] = dec_sh["sec"]
     mt = bench_multitable(spark)
     queries["cdc_multitable_fanout"] = mt["multi_sec"]
+    lk = bench_point_lookup(spark, sf_tag)
+    queries["lake_point_lookup"] = lk["pruned_sec"]
 
     from myzql_binlog_connector_spark.operators.fuzzy import release_cached
 
@@ -458,6 +523,7 @@ def main():
             "cdc_decode_only": dec["trials"],
             "cdc_decode_shuffle": dec_sh["trials"],
             "cdc_multitable_fanout": mt["multi_trials"],
+            "lake_point_lookup": lk["pruned_trials"],
             **trials_out,
         },
         "sf": sf,
@@ -466,6 +532,7 @@ def main():
         "cdc_decode": dec,
         "cdc_decode_shuffle": dec_sh,
         "cdc_multitable": mt,
+        "lake_point_lookup": lk,
         "ivf_cells": ivf_cells,
         "ivf_recall": ivf_recall,
         "scratch": "tmpfs" if os.path.isdir("/dev/shm")

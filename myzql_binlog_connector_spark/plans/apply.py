@@ -667,6 +667,7 @@ class MultiTableApplier:
             self.table_path(database, table),
             key_cols,
             n_buckets=spec.get("n_buckets", self.n_buckets),
+            stats_cols=spec.get("stats_cols"),
         )
 
     def apply_batch(

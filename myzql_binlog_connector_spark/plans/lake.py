@@ -76,6 +76,45 @@ def _widened(old: str, new: str) -> str | None:
     return None
 
 
+def _footer_stats(path: str, cols: list[str]) -> dict:
+    """Per-file min/max for ``cols`` straight from the parquet footer — a
+    KB-sized metadata read, never a data scan (the Iceberg manifest-stats /
+    Delta file-stats pattern).  Returns ``{col: [min, max]}`` restricted to
+    JSON-serializable primitive stats; a column without sound footer stats
+    is simply omitted, which readers treat as "file may match anything"
+    (safe over-read, never a wrong prune)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict = {}
+    if md.num_row_groups == 0:
+        return out
+    idx = {
+        md.row_group(0).column(j).path_in_schema: j
+        for j in range(md.row_group(0).num_columns)
+    }
+    for c in cols:
+        j = idx.get(c)
+        if j is None:
+            continue
+        lo = hi = None
+        ok = True
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(j).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bool) or not isinstance(mn, (int, float, str)):
+                ok = False
+                break
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if ok and lo is not None:
+            out[c] = [lo, hi]
+    return out
+
+
 class RetentionOverrunError(ValueError):
     """A change-feed consumer asked for versions that vacuum has expired —
     resuming would silently gap the feed (Delta CDF / Iceberg changelog
@@ -108,6 +147,7 @@ class BucketedLakeTable:
         hot_bucket_split_rows: int = 1 << 18,
         codec: str = "snappy",
         auto_fold: bool = True,
+        stats_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
@@ -145,6 +185,12 @@ class BucketedLakeTable:
         # LWW across however many files a bucket has — only read
         # amplification grows until compaction runs.
         self.auto_fold = auto_fold
+        # stats_cols: column names whose per-file min/max are recorded in
+        # the manifest at commit time (parquet-footer read, no data scan)
+        # and consulted by read(ranges=...) to skip buckets whose files
+        # can't match — Delta/Iceberg data skipping.  Default off: a table
+        # nobody range-queries shouldn't pay even the footer reads.
+        self.stats_cols = list(stats_cols) if stats_cols else None
 
     # ------------------------------------------------------------------
     # manifest plumbing
@@ -309,6 +355,90 @@ class BucketedLakeTable:
         # file's schema and silently drop newer columns
         return self.spark.read.schema(schema).parquet(*files)
 
+    def _collect_stats(self, paths: list[str], cols: list[str]) -> dict:
+        """{path: {col: [min, max]}} from parquet footers.  Driver-side for
+        small commits; distributed over executors past 64 files (footers
+        live on shared storage on a real cluster, so executors read them as
+        well as the driver does — and a 100 TB commit can touch tens of
+        thousands of buckets, too many for a driver loop)."""
+        cols = list(cols)
+        if len(paths) > 64:
+            sc = self.spark.sparkContext
+            return dict(
+                sc.parallelize(sorted(paths), max(1, len(paths) // 32))
+                .map(lambda p: (p, _footer_stats(p, cols)))
+                .collect()
+            )
+        return {p: _footer_stats(p, cols) for p in paths}
+
+    def _buckets_for_keys(self, keys: list[dict], schema: StructType) -> set:
+        """Bucket ids for exact key tuples, computed with Spark's own hash
+        (one tiny local job over a probe frame typed from the stored
+        schema — no Python Murmur3 reimplementation to drift)."""
+        key_fields = StructType(
+            [type(schema[c])(c, schema[c].dataType, True) for c in self.key_cols]
+        )
+        probe = self.spark.createDataFrame(
+            [tuple(k[c] for c in self.key_cols) for k in keys], key_fields
+        )
+        return {
+            r["b"]
+            for r in probe.select(
+                F.pmod(
+                    F.hash(*[F.col(c) for c in self.key_cols]),
+                    F.lit(self.n_buckets),
+                ).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+
+    def _select_buckets(
+        self,
+        m: dict,
+        schema: StructType,
+        keys: list[dict] | None = None,
+        ranges: dict | None = None,
+    ) -> dict:
+        """The scan-planning half of a pruned read: subset the manifest's
+        {bucket: files} map to buckets that can contain matching rows.
+
+        Pruning is deliberately BUCKET-granular, never file-granular: this
+        is a merge-on-read table, so dropping one file of a multi-file
+        bucket could drop the newest version (or the tombstone) of a key
+        whose older version survives in another file — LWW would then
+        resurrect stale data.  A key lives in exactly one bucket, so
+        keeping or dropping whole buckets keeps LWW exact.  A bucket
+        survives range pruning if ANY of its files may match (a file
+        without recorded stats always may)."""
+        buckets = m["files"]
+        if keys is not None:
+            hit = self._buckets_for_keys(keys, schema)
+            buckets = {b: fl for b, fl in buckets.items() if int(b) in hit}
+        if ranges:
+            stats = m.get("file_stats", {})
+
+            def file_may_match(p: str) -> bool:
+                s = stats.get(p)
+                if s is None:
+                    return True
+                for c, (lo, hi) in ranges.items():
+                    cs = s.get(c)
+                    if cs is None:
+                        continue
+                    if (hi is not None and cs[0] > hi) or (
+                        lo is not None and cs[1] < lo
+                    ):
+                        return False
+                return True
+
+            buckets = {
+                b: fl
+                for b, fl in buckets.items()
+                if any(file_may_match(p) for p in fl)
+            }
+        return buckets
+
     def _lww(self, df: DataFrame, schema: StructType) -> DataFrame:
         """Resolve last-writer-wins per key (merge-on-read).  max_by hash
         aggregate — map-side partial aggregation, no ranking window."""
@@ -325,6 +455,8 @@ class BucketedLakeTable:
         include_tombstones: bool = False,
         include_meta: bool = False,
         at_version: int | None = None,
+        keys: list[dict] | dict | None = None,
+        ranges: dict | None = None,
     ) -> DataFrame:
         """Snapshot as a DataFrame (live rows, payload columns).
 
@@ -334,14 +466,28 @@ class BucketedLakeTable:
         deletes data files, so any committed version stays readable.  A
         future vacuum must bound this to its retention window.
 
+        ``keys``: exact key tuple(s) ({key_col: value} or a list of them) —
+        the read plans only the buckets those keys hash to (point lookups
+        touch 1 bucket of tens of thousands at 100 TB) and returns exactly
+        the matching live rows.  ``ranges``: {col: (lo, hi)} (either bound
+        None for open) — buckets whose recorded file stats (``stats_cols``)
+        exclude the range are never scanned, and the predicate is applied
+        row-level after LWW so the result is exact (NULLs excluded, SQL
+        comparison semantics).  Both prune at bucket granularity — see
+        ``_select_buckets`` for why file-granular pruning would corrupt
+        merge-on-read LWW.
+
         Buckets with a single (folded) file hold one version per key by
         construction and union in with no shuffle; only multi-file buckets
         pay the LWW aggregate.  Keys hash to exactly one bucket, so the
         aggregate over the multi-file union is bucket-local-correct."""
         m = self._read_manifest(at_version)
         schema = StructType.fromJson(json.loads(m["schema"]))
+        if isinstance(keys, dict):
+            keys = [keys]
+        bucket_files = self._select_buckets(m, schema, keys=keys, ranges=ranges)
         single, multi = [], []
-        for fl in m["files"].values():
+        for fl in bucket_files.values():
             (multi if len(fl) > 1 else single).extend(fl)
         parts = []
         if single:
@@ -353,6 +499,23 @@ class BucketedLakeTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        if keys:  # [] already pruned every bucket above
+            conds = None
+            for k in keys:
+                cond = None
+                for c in self.key_cols:
+                    eq = F.col(c).eqNullSafe(
+                        F.lit(k[c]).cast(schema[c].dataType)
+                    )
+                    cond = eq if cond is None else (cond & eq)
+                conds = cond if conds is None else (conds | cond)
+            df = df.filter(conds)
+        if ranges:
+            for c, (lo, hi) in ranges.items():
+                if lo is not None:
+                    df = df.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(c) <= F.lit(hi))
         if not include_tombstones:
             df = df.filter(~F.col("_deleted"))
         if not include_meta:
@@ -651,6 +814,20 @@ class BucketedLakeTable:
                 written.extend(parts)
 
         bytes_written = sum(os.path.getsize(p) for p in written)
+        file_stats = None
+        if self.stats_cols:
+            # footer-only reads over just this commit's files; carry stats
+            # forward for surviving files, drop entries for files folding
+            # just superseded (manifest stays O(live files))
+            live = {p for fl in new_files.values() for p in fl}
+            file_stats = {
+                p: s
+                for p, s in {
+                    **(m or {}).get("file_stats", {}),
+                    **self._collect_stats(written, self.stats_cols),
+                }.items()
+                if p in live
+            }
         record = {
             "version": version,
             "batch_id": batch_id,
@@ -677,6 +854,8 @@ class BucketedLakeTable:
             "watermarks": dict(wms),
             "lineage": ((m or {}).get("lineage", []) + [record])[-200:],
         }
+        if file_stats is not None:
+            manifest["file_stats"] = file_stats
         if extra_lineage and "watermarks" in extra_lineage:
             manifest["watermarks"].update(extra_lineage["watermarks"])
         self._commit(manifest)
@@ -775,6 +954,17 @@ class BucketedLakeTable:
             )
         m["version"] = version
         m["files"] = files
+        if self.stats_cols:
+            rewritten = [p for b in targets for p in files[str(b)]]
+            live = {p for fl in files.values() for p in fl}
+            m["file_stats"] = {
+                p: s
+                for p, s in {
+                    **m.get("file_stats", {}),
+                    **self._collect_stats(rewritten, self.stats_cols),
+                }.items()
+                if p in live
+            }
         m["lineage"] = m.get("lineage", []) + [
             {"version": version, "compaction": True, "compacted_buckets": targets}
         ]

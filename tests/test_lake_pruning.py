@@ -1,0 +1,197 @@
+"""Scan pruning on BucketedLakeTable: key-lookup bucket pruning and
+stats-based range skipping (Delta/Iceberg data-skipping analogues).
+
+The invariant under test everywhere: pruning changes which files are
+SCANNED, never which rows are RETURNED — a pruned read equals the
+equivalent filter over the full read, including under merge-on-read
+multi-file buckets, tombstones, folds, and compaction.  Pruning is
+bucket-granular by design (file-granular pruning could drop the newest
+version of a key while an older file survives, and LWW would resurrect
+stale data)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _mk_changes(spark, rows):
+    """rows: list of (conv_id, turn_idx, text, ts, gtid, deleted)."""
+    data = [(c, t, x, ts, bool(d), g, g, 1) for (c, t, x, ts, g, d) in rows]
+    return spark.createDataFrame(
+        data,
+        "conv_id string, turn_idx bigint, text string, ts bigint, "
+        "_deleted boolean, _gtid bigint, _event_seq bigint, "
+        "_event_row_index bigint",
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+    return BucketedLakeTable(
+        spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=16,
+        max_files_per_bucket=4, stats_cols=["ts"],
+    )
+
+
+def _rows(df):
+    return {(r.conv_id, r.turn_idx, r.text, r.ts) for r in df.collect()}
+
+
+class TestKeyLookupPruning:
+    def test_point_lookup_scans_one_bucket(self, spark, table):
+        table.merge(
+            _mk_changes(
+                spark,
+                [(f"c{i}", j, f"v{i}.{j}", 100 + i, 1, False)
+                 for i in range(40) for j in range(2)],
+            ),
+            batch_id=0,
+        )
+        full = table.read()
+        hit = table.read(keys={"conv_id": "c7", "turn_idx": 1})
+        assert _rows(hit) == {("c7", 1, "v7.1", 107)}
+        # the pruned plan scans a strict subset of the snapshot's files
+        assert 0 < len(hit.inputFiles()) < len(full.inputFiles())
+        m = table.snapshot_manifest()
+        one_bucket = max(len(fl) for fl in m["files"].values())
+        assert len(hit.inputFiles()) <= one_bucket
+
+    def test_lookup_correct_across_multifile_lww(self, spark, table):
+        """The looked-up key's newest version and its tombstones live in
+        later delta files of the same bucket — the pruned read must see
+        them all."""
+        table.merge(
+            _mk_changes(spark, [(f"c{i}", 0, "v1", 10, 1, False) for i in range(20)]),
+            batch_id=0,
+        )
+        table.merge(_mk_changes(spark, [("c3", 0, "v2", 20, 2, False)]), batch_id=1)
+        table.merge(_mk_changes(spark, [("c4", 0, None, 30, 3, True)]), batch_id=2)
+        assert _rows(table.read(keys={"conv_id": "c3", "turn_idx": 0})) == {
+            ("c3", 0, "v2", 20)
+        }
+        assert table.read(keys={"conv_id": "c4", "turn_idx": 0}).count() == 0
+
+    def test_multi_key_lookup(self, spark, table):
+        table.merge(
+            _mk_changes(
+                spark, [(f"c{i}", 0, f"v{i}", i, 1, False) for i in range(30)]
+            ),
+            batch_id=0,
+        )
+        got = table.read(
+            keys=[
+                {"conv_id": "c2", "turn_idx": 0},
+                {"conv_id": "c17", "turn_idx": 0},
+                {"conv_id": "missing", "turn_idx": 9},
+            ]
+        )
+        assert _rows(got) == {("c2", 0, "v2", 2), ("c17", 0, "v17", 17)}
+
+
+class TestRangeSkipping:
+    def test_manifest_carries_footer_stats(self, spark, table):
+        table.merge(
+            _mk_changes(
+                spark, [(f"c{i}", 0, "x", 1000 + i, 1, False) for i in range(10)]
+            ),
+            batch_id=0,
+        )
+        m = table.snapshot_manifest()
+        stats = m.get("file_stats", {})
+        live = [p for fl in m["files"].values() for p in fl]
+        assert live and set(stats) == set(live)
+        los = [s["ts"][0] for s in stats.values()]
+        his = [s["ts"][1] for s in stats.values()]
+        assert min(los) == 1000 and max(his) == 1009
+
+    def test_range_read_prunes_and_stays_exact(self, spark, table):
+        # two well-separated ts epochs land in every bucket; stats split
+        # per FILE, so pruning only wins after fold keeps epochs apart —
+        # here each merge writes its own files, which is exactly that
+        table.merge(
+            _mk_changes(
+                spark, [(f"a{i}", 0, "old", 100 + i, 1, False) for i in range(40)]
+            ),
+            batch_id=0,
+        )
+        table.merge(
+            _mk_changes(
+                spark, [(f"b{i}", 0, "new", 100000 + i, 2, False) for i in range(3)]
+            ),
+            batch_id=1,
+        )
+        full = table.read()
+        pruned = table.read(ranges={"ts": (100000, None)})
+        want = {r for r in _rows(full) if r[3] >= 100000}
+        assert _rows(pruned) == want
+        # buckets holding only the old epoch are skipped entirely
+        assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+    def test_range_pruning_never_drops_lww_state(self, spark, table):
+        """A key UPDATED into the queried range: its old out-of-range file
+        shares a bucket with the new in-range delta.  Bucket granularity
+        keeps both, LWW resolves, and the updated row is returned."""
+        table.merge(
+            _mk_changes(spark, [("k", 0, "old", 10, 1, False)]), batch_id=0
+        )
+        table.merge(
+            _mk_changes(spark, [("k", 0, "new", 9999, 2, False)]), batch_id=1
+        )
+        got = table.read(ranges={"ts": (9000, None)})
+        assert _rows(got) == {("k", 0, "new", 9999)}
+        # and the inverse: the key left the range; stale version must not
+        # reappear just because its file's stats match
+        assert table.read(ranges={"ts": (None, 100)}).count() == 0
+
+    def test_stats_survive_fold_and_compaction(self, spark, table):
+        for g in range(6):  # crosses max_files_per_bucket=4 → inline fold
+            table.merge(
+                _mk_changes(
+                    spark, [("hotkey", 0, f"v{g}", 50 + g, g + 1, False)]
+                ),
+                batch_id=g,
+            )
+        table.compact()
+        m = table.snapshot_manifest()
+        live = {p for fl in m["files"].values() for p in fl}
+        assert set(m["file_stats"]) == live  # no dead entries, none missing
+        got = table.read(ranges={"ts": (55, 55)})
+        assert _rows(got) == {("hotkey", 0, "v5", 55)}
+
+    def test_file_without_stats_is_unprunable_not_dropped(self, spark, tmp_path):
+        """Turning stats on mid-life: files committed before stats_cols was
+        set have no entries and must survive every range read."""
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        path = str(tmp_path / "t2")
+        t_nostats = BucketedLakeTable(
+            spark, path, ["conv_id", "turn_idx"], n_buckets=4
+        )
+        t_nostats.merge(
+            _mk_changes(spark, [("early", 0, "e", 5, 1, False)]), batch_id=0
+        )
+        t_stats = BucketedLakeTable(
+            spark, path, ["conv_id", "turn_idx"], n_buckets=4,
+            stats_cols=["ts"],
+        )
+        t_stats.merge(
+            _mk_changes(spark, [("late", 0, "l", 500, 2, False)]), batch_id=1
+        )
+        got = t_stats.read(ranges={"ts": (0, 10)})
+        assert _rows(got) == {("early", 0, "e", 5)}
+
+    def test_keys_and_ranges_compose(self, spark, table):
+        table.merge(
+            _mk_changes(
+                spark, [(f"c{i}", 0, "x", i, 1, False) for i in range(20)]
+            ),
+            batch_id=0,
+        )
+        hit = table.read(keys={"conv_id": "c5", "turn_idx": 0}, ranges={"ts": (0, 10)})
+        assert _rows(hit) == {("c5", 0, "x", 5)}
+        miss = table.read(
+            keys={"conv_id": "c15", "turn_idx": 0}, ranges={"ts": (0, 10)}
+        )
+        assert miss.count() == 0
