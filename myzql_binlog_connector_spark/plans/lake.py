@@ -439,6 +439,19 @@ class BucketedLakeTable:
             }
         return buckets
 
+    def _key_cond(self, keys: list[dict], schema: StructType):
+        """Row-level predicate for exact key tuples (OR over tuples, AND
+        over key columns, null-safe equality typed from the stored
+        schema)."""
+        conds = None
+        for k in keys:
+            cond = None
+            for c in self.key_cols:
+                eq = F.col(c).eqNullSafe(F.lit(k[c]).cast(schema[c].dataType))
+                cond = eq if cond is None else (cond & eq)
+            conds = cond if conds is None else (conds | cond)
+        return conds
+
     def _lww(self, df: DataFrame, schema: StructType) -> DataFrame:
         """Resolve last-writer-wins per key (merge-on-read).  max_by hash
         aggregate — map-side partial aggregation, no ranking window."""
@@ -471,11 +484,22 @@ class BucketedLakeTable:
         touch 1 bucket of tens of thousands at 100 TB) and returns exactly
         the matching live rows.  ``ranges``: {col: (lo, hi)} (either bound
         None for open) — buckets whose recorded file stats (``stats_cols``)
-        exclude the range are never scanned, and the predicate is applied
-        row-level after LWW so the result is exact (NULLs excluded, SQL
-        comparison semantics).  Both prune at bucket granularity — see
-        ``_select_buckets`` for why file-granular pruning would corrupt
-        merge-on-read LWW.
+        exclude the range are never scanned, and the predicate is exact
+        row-level (NULLs excluded, SQL comparison semantics).  Both prune
+        at bucket granularity — see ``_select_buckets`` for why
+        file-granular pruning would corrupt merge-on-read LWW.
+
+        Predicate placement vs the LWW aggregate: the key-equality
+        predicate COMMUTES with per-key LWW (it keeps or drops whole key
+        groups), so it is applied directly on both scans — Catalyst pushes
+        it into the parquet readers, where row-group stats on the key
+        columns skip IO inside surviving buckets.  The range predicate
+        does NOT commute (a key whose newest version falls outside the
+        range must not resurrect an in-range older version), so it runs
+        below the aggregate only on single-file (folded) buckets — one
+        version per key by construction — and after the aggregate on
+        multi-file buckets.  ``compact(sort_by=...)`` clusters folded
+        files so those pushed range filters skip whole row groups.
 
         Buckets with a single (folded) file hold one version per key by
         construction and union in with no shuffle; only multi-file buckets
@@ -489,33 +513,32 @@ class BucketedLakeTable:
         single, multi = [], []
         for fl in bucket_files.values():
             (multi if len(fl) > 1 else single).extend(fl)
+        key_cond = self._key_cond(keys, schema) if keys else None
+
+        def range_filter(part: DataFrame) -> DataFrame:
+            for c, (lo, hi) in (ranges or {}).items():
+                if lo is not None:
+                    part = part.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    part = part.filter(F.col(c) <= F.lit(hi))
+            return part
+
         parts = []
         if single:
-            parts.append(self._read_files(single, m["schema"]))
+            part = self._read_files(single, m["schema"])
+            if key_cond is not None:
+                part = part.filter(key_cond)
+            parts.append(range_filter(part))
         if multi:
-            parts.append(self._lww(self._read_files(multi, m["schema"]), schema))
+            part = self._read_files(multi, m["schema"])
+            if key_cond is not None:
+                part = part.filter(key_cond)  # pre-LWW: commutes
+            parts.append(range_filter(self._lww(part, schema)))
         if not parts:
             parts = [self._read_files([], m["schema"])]
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        if keys:  # [] already pruned every bucket above
-            conds = None
-            for k in keys:
-                cond = None
-                for c in self.key_cols:
-                    eq = F.col(c).eqNullSafe(
-                        F.lit(k[c]).cast(schema[c].dataType)
-                    )
-                    cond = eq if cond is None else (cond & eq)
-                conds = cond if conds is None else (conds | cond)
-            df = df.filter(conds)
-        if ranges:
-            for c, (lo, hi) in ranges.items():
-                if lo is not None:
-                    df = df.filter(F.col(c) >= F.lit(lo))
-                if hi is not None:
-                    df = df.filter(F.col(c) <= F.lit(hi))
         if not include_tombstones:
             df = df.filter(~F.col("_deleted"))
         if not include_meta:
@@ -891,6 +914,7 @@ class BucketedLakeTable:
         drop_tombstones_below: tuple | None = None,
         buckets: list[int] | None = None,
         small_file_bytes: int = 32 * 1024 * 1024,
+        sort_by: list[str] | None = None,
     ) -> dict:
         """Incremental compaction: fold multi-file buckets and bin-pack
         small files, rewriting ONLY the selected buckets (others are carried
@@ -900,7 +924,18 @@ class BucketedLakeTable:
         Bucket selection: explicit ``buckets``, else any bucket with more
         than one file or a file under ``small_file_bytes``.  With
         ``drop_tombstones_below`` (tombstone GC below the low watermark),
-        every non-empty bucket is selected — GC must visit all data."""
+        every non-empty bucket is selected — GC must visit all data.
+
+        ``sort_by``: cluster each rewritten bucket's rows by these columns
+        (``sortWithinPartitions`` — no extra shuffle; the repartition by
+        bucket is already the only exchange).  Clustering makes parquet
+        row-group min/max on those columns tight, so the range/key
+        predicates ``read`` pushes into the scan skip whole row groups
+        inside a bucket — the Delta ``OPTIMIZE ZORDER BY`` analogue
+        (linear order: right for one range column such as ``ts``).
+        Defaults to ``stats_cols`` when set — a table that records
+        range-pruning stats wants its folded files clustered the same
+        way; pass ``[]`` to disable."""
         m = self._read_manifest()
         schema = StructType.fromJson(json.loads(m["schema"]))
         old_files = m["files"]
@@ -939,7 +974,16 @@ class BucketedLakeTable:
         out_dir = os.path.join(
             self.path, "data", f"v{version}-{uuid.uuid4().hex[:8]}"
         )
-        df.repartition(len(targets), "_bucket").write.mode("overwrite").option(
+        out = df.repartition(len(targets), "_bucket")
+        if sort_by is None:
+            sort_by = self.stats_cols or []
+        if sort_by:
+            # lead with _bucket: the partitionBy write needs partition-col
+            # order and would otherwise insert its own sort (by _bucket
+            # alone, not stable) on any task holding >1 bucket, destroying
+            # the clustering this exists to create
+            out = out.sortWithinPartitions("_bucket", *sort_by)
+        out.write.mode("overwrite").option(
             "compression", self.codec
         ).partitionBy(
             "_bucket"

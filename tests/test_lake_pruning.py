@@ -182,6 +182,54 @@ class TestRangeSkipping:
         got = t_stats.read(ranges={"ts": (0, 10)})
         assert _rows(got) == {("early", 0, "e", 5)}
 
+    def test_predicates_push_into_parquet_scan(self, spark, table):
+        """Key equality commutes with per-key LWW, so read() applies it
+        below the aggregate on BOTH scan legs and Catalyst pushes it into
+        the parquet readers; range predicates push only on the folded
+        (single-file) leg.  At 100 TB this is what turns a surviving
+        bucket's scan into a row-group-skipping scan."""
+        table.merge(
+            _mk_changes(
+                spark, [(f"c{i}", 0, "x", i, 1, False) for i in range(40)]
+            ),
+            batch_id=0,
+        )
+        hit = table.read(keys={"conv_id": "c5", "turn_idx": 0})
+        plan = hit._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "conv_id" in plan.split(
+            "PushedFilters: ["
+        )[1].split("]")[0]
+        rng = table.read(ranges={"ts": (10, 20)})
+        plan = rng._jdf.queryExecution().executedPlan().toString()
+        pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+        assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed
+
+    def test_compact_sort_by_clusters_and_stays_exact(self, spark, table):
+        """compact() defaults sort_by to stats_cols: folded files come out
+        ts-clustered (tight row-group stats for the pushed range filters)
+        and the read results are unchanged."""
+        import pyarrow.parquet as pq
+
+        for g in range(3):
+            table.merge(
+                _mk_changes(
+                    spark,
+                    [(f"c{i}", g, "x", (i * 7 + g * 13) % 200, g + 1, False)
+                     for i in range(50)],
+                ),
+                batch_id=g,
+            )
+        before = _rows(table.read())
+        table.compact()
+        assert _rows(table.read()) == before
+        m = table.snapshot_manifest()
+        for fl in m["files"].values():
+            for p in fl:
+                ts = pq.read_table(p, columns=["ts"])["ts"].to_pylist()
+                assert ts == sorted(ts), f"{p} not ts-clustered"
+        got = table.read(ranges={"ts": (50, 60)})
+        assert _rows(got) == {r for r in before if 50 <= r[3] <= 60}
+
     def test_keys_and_ranges_compose(self, spark, table):
         table.merge(
             _mk_changes(
