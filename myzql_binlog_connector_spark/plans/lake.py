@@ -371,10 +371,33 @@ class BucketedLakeTable:
             )
         return {p: _footer_stats(p, cols) for p in paths}
 
-    def _buckets_for_keys(self, keys: list[dict], schema: StructType) -> set:
+    def _sync_layout(self, m: dict) -> None:
+        """Reconcile this handle with the table's committed physical layout
+        before writing.  The manifest is authoritative: ``n_buckets`` at
+        construction is a create-time parameter only, and a handle opened
+        with a stale value (e.g. after another writer ran ``rebucket``)
+        must adopt the committed layout or every merge would scatter keys
+        across the wrong bucket directories.  ``key_cols`` defines the
+        table's identity semantics and can never drift — mismatch raises."""
+        mk = m.get("key_cols")
+        if mk is not None and list(mk) != self.key_cols:
+            raise ValueError(
+                f"table at {self.path} is keyed by {list(mk)}, "
+                f"handle opened with {self.key_cols}"
+            )
+        nb = m.get("n_buckets")
+        if nb is not None and int(nb) != self.n_buckets:
+            self.n_buckets = int(nb)
+
+    def _buckets_for_keys(
+        self, keys: list[dict], schema: StructType, n_buckets: int
+    ) -> set:
         """Bucket ids for exact key tuples, computed with Spark's own hash
         (one tiny local job over a probe frame typed from the stored
-        schema — no Python Murmur3 reimplementation to drift)."""
+        schema — no Python Murmur3 reimplementation to drift).
+        ``n_buckets`` comes from the manifest BEING READ, not the handle —
+        a time-travel read across a ``rebucket`` must hash against that
+        snapshot's layout."""
         key_fields = StructType(
             [type(schema[c])(c, schema[c].dataType, True) for c in self.key_cols]
         )
@@ -386,7 +409,7 @@ class BucketedLakeTable:
             for r in probe.select(
                 F.pmod(
                     F.hash(*[F.col(c) for c in self.key_cols]),
-                    F.lit(self.n_buckets),
+                    F.lit(n_buckets),
                 ).alias("b")
             )
             .distinct()
@@ -413,7 +436,9 @@ class BucketedLakeTable:
         without recorded stats always may)."""
         buckets = m["files"]
         if keys is not None:
-            hit = self._buckets_for_keys(keys, schema)
+            hit = self._buckets_for_keys(
+                keys, schema, int(m.get("n_buckets", self.n_buckets))
+            )
             buckets = {b: fl for b, fl in buckets.items() if int(b) in hit}
         if ranges:
             stats = m.get("file_stats", {})
@@ -635,6 +660,8 @@ class BucketedLakeTable:
         order_cols = list(order_cols)
 
         m = self._read_manifest() if self.exists() else None
+        if m:
+            self._sync_layout(m)
         old_schema_json = m["schema"] if m else None
 
         # --- schema evolution: diff incoming payload schema vs stored ------
@@ -937,6 +964,7 @@ class BucketedLakeTable:
         range-pruning stats wants its folded files clustered the same
         way; pass ``[]`` to disable."""
         m = self._read_manifest()
+        self._sync_layout(m)
         schema = StructType.fromJson(json.loads(m["schema"]))
         old_files = m["files"]
 
@@ -1014,6 +1042,78 @@ class BucketedLakeTable:
         ]
         self._commit(m)
         return {"version": version, "compacted_buckets": targets}
+
+    def rebucket(self, n_buckets: int) -> dict:
+        """Migrate the table to a new bucket count — the operation that
+        keeps buckets at ~0.5–2 GB as a table grows from GBs toward 100 TB
+        (the Iceberg partition-spec-evolution analogue for this layout).
+
+        One full rewrite: the current LWW state — tombstones included,
+        they still gate late replays — is hashed into the new layout,
+        clustered by ``stats_cols`` when set, and committed as one new
+        version.  Older manifests keep referencing the old layout, so time
+        travel across the boundary stays exact (``read`` hashes key
+        lookups against the manifest being read, not the handle), and the
+        change feed is unaffected (delta files are per-commit and carry no
+        bucket structure).  Future merges from any handle adopt the new
+        count via ``_sync_layout``."""
+        m = self._read_manifest()
+        self._sync_layout(m)
+        old_n = int(m["n_buckets"])
+        n_buckets = int(n_buckets)
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        if n_buckets == old_n:
+            return {"version": m["version"], "rebucket": None}
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        all_files = [p for fl in m["files"].values() for p in fl]
+        df = self._lww(self._read_files(all_files, m["schema"]), schema)
+        df = df.withColumn(
+            "_bucket",
+            F.pmod(
+                F.hash(*[F.col(c) for c in self.key_cols]), F.lit(n_buckets)
+            ),
+        )
+        version = m["version"] + 1
+        out_dir = os.path.join(
+            self.path, "data", f"v{version}-{uuid.uuid4().hex[:8]}"
+        )
+        out = df.repartition(n_buckets, "_bucket")
+        if self.stats_cols:
+            out = out.sortWithinPartitions("_bucket", *self.stats_cols)
+        out.write.mode("overwrite").option(
+            "compression", self.codec
+        ).partitionBy("_bucket").parquet(out_dir)
+        files_map: dict = {}
+        written: list[str] = []
+        for b in range(n_buckets):
+            bdir = os.path.join(out_dir, f"_bucket={b}")
+            parts = (
+                [
+                    os.path.join(bdir, x)
+                    for x in os.listdir(bdir)
+                    if x.endswith(".parquet")
+                ]
+                if os.path.isdir(bdir)
+                else []
+            )
+            if parts:
+                files_map[str(b)] = parts
+                written.extend(parts)
+        record = {
+            "version": version,
+            "rebucket": [old_n, n_buckets],
+            "files_written": len(written),
+        }
+        m["version"] = version
+        m["n_buckets"] = n_buckets
+        m["files"] = files_map
+        if self.stats_cols:
+            m["file_stats"] = self._collect_stats(written, self.stats_cols)
+        m["lineage"] = m.get("lineage", []) + [record]
+        self._commit(m)
+        self.n_buckets = n_buckets
+        return record
 
     def vacuum(self, retain_last: int = 10) -> dict:
         """Reclaim storage: delete data files unreachable from the last

@@ -965,3 +965,105 @@ class TestCrashRecovery:
         t.set_watermarks({"1": 20})
         assert self._metric_versions(path) == [1]
         assert t.watermarks()["1"] == 20
+
+
+class TestRebucket:
+    """Bucket-count migration (the operation that keeps buckets at
+    ~0.5-2 GB as a table grows toward 100 TB) plus the layout guard that
+    makes handles safe around it: the committed manifest is authoritative
+    for n_buckets, key_cols can never drift."""
+
+    def _state(self, t):
+        return {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+
+    def test_rebucket_preserves_state_and_layout(self, spark, table):
+        table.merge(
+            _mk_changes(
+                spark, [(f"c{i}", 0, f"v{i}", 1, False) for i in range(60)]
+            ),
+            batch_id=0,
+        )
+        table.merge(_mk_changes(spark, [("c3", 0, "v3b", 2, False)]), batch_id=1)
+        table.merge(_mk_changes(spark, [("c4", 0, None, 3, True)]), batch_id=2)
+        before = self._state(table)
+        rec = table.rebucket(32)
+        assert rec["rebucket"] == [8, 32]
+        assert self._state(table) == before
+        m = table.snapshot_manifest()
+        assert m["n_buckets"] == 32 and table.n_buckets == 32
+        # every bucket folded to one file, keys land where lookups expect
+        assert all(len(fl) == 1 for fl in m["files"].values())
+        assert self._state(table.__class__(  # fresh handle, stale count
+            spark, table.path, ["conv_id", "turn_idx"], n_buckets=8
+        )) == before
+
+    def test_lookup_and_merge_after_rebucket(self, spark, table):
+        table.merge(
+            _mk_changes(
+                spark, [(f"c{i}", 0, f"v{i}", 1, False) for i in range(40)]
+            ),
+            batch_id=0,
+        )
+        table.rebucket(32)
+        got = table.read(keys={"conv_id": "c7", "turn_idx": 0}).collect()
+        assert [(r.conv_id, r.text) for r in got] == [("c7", "v7")]
+        table.merge(_mk_changes(spark, [("c7", 0, "post", 5, False)]), batch_id=1)
+        got = table.read(keys={"conv_id": "c7", "turn_idx": 0}).collect()
+        assert [(r.conv_id, r.text) for r in got] == [("c7", "post")]
+
+    def test_time_travel_across_rebucket_boundary(self, spark, table):
+        """A key lookup against a pre-rebucket snapshot must hash with THAT
+        manifest's bucket count, not the handle's."""
+        table.merge(
+            _mk_changes(
+                spark, [(f"c{i}", 0, "old", 1, False) for i in range(40)]
+            ),
+            batch_id=0,
+        )
+        v1 = table.snapshot_manifest()["version"]
+        table.rebucket(32)
+        table.merge(_mk_changes(spark, [("c9", 0, "new", 9, False)]), batch_id=1)
+        got = table.read(keys={"conv_id": "c9", "turn_idx": 0}, at_version=v1)
+        assert [r.text for r in got.collect()] == ["old"]
+        got = table.read(keys={"conv_id": "c9", "turn_idx": 0})
+        assert [r.text for r in got.collect()] == ["new"]
+
+    def test_stale_handle_merge_adopts_committed_layout(self, spark, table):
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        table.merge(
+            _mk_changes(
+                spark, [(f"c{i}", 0, f"v{i}", 1, False) for i in range(30)]
+            ),
+            batch_id=0,
+        )
+        table.rebucket(16)
+        stale = BucketedLakeTable(
+            spark, table.path, ["conv_id", "turn_idx"], n_buckets=8
+        )
+        stale.merge(_mk_changes(spark, [("c2", 0, "via-stale", 4, False)]), batch_id=1)
+        assert stale.n_buckets == 16  # adopted before bucketing the batch
+        got = table.read(keys={"conv_id": "c2", "turn_idx": 0}).collect()
+        assert [r.text for r in got] == ["via-stale"]
+
+    def test_key_cols_mismatch_raises(self, spark, table):
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        table.merge(_mk_changes(spark, [("a", 0, "x", 1, False)]), batch_id=0)
+        wrong = BucketedLakeTable(spark, table.path, ["conv_id"], n_buckets=8)
+        with pytest.raises(ValueError, match="keyed by"):
+            wrong.merge(
+                spark.createDataFrame(
+                    [("a", "y", False, 2, 2, 1)],
+                    "conv_id string, text string, _deleted boolean, "
+                    "_gtid bigint, _event_seq bigint, _event_row_index bigint",
+                ),
+                batch_id=1,
+            )
+
+    def test_rebucket_noop_and_validation(self, spark, table):
+        table.merge(_mk_changes(spark, [("a", 0, "x", 1, False)]), batch_id=0)
+        v = table.snapshot_manifest()["version"]
+        assert table.rebucket(8) == {"version": v, "rebucket": None}
+        with pytest.raises(ValueError, match="n_buckets"):
+            table.rebucket(0)
