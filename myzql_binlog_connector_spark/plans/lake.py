@@ -675,7 +675,8 @@ class BucketedLakeTable:
                 if f_.name == "_bucket":
                     continue
                 if f_.name not in names:
-                    merged_fields.append(f_)
+                    # force nullable: every pre-evolution row IS null here
+                    merged_fields.append(type(f_)(f_.name, f_.dataType, True))
                     evolution.append(f"add:{f_.name}:{f_.dataType.simpleString()}")
                 else:
                     old_t = merged_fields[names[f_.name]].dataType.simpleString()
@@ -690,7 +691,18 @@ class BucketedLakeTable:
                         evolution.append(f"widen:{f_.name}:{old_t}->{new_t}")
             schema = StructType(merged_fields)
         else:
-            schema = change_schema
+            # store every field nullable: tombstones null-pad payload
+            # columns, and later ADD COLUMNs null-pad history — a
+            # non-nullable manifest field would be a lie the first time
+            # either happens (file sources report nullable for the same
+            # reason)
+            schema = StructType(
+                [
+                    type(f_)(f_.name, f_.dataType, True)
+                    for f_ in change_schema.fields
+                    if f_.name != "_bucket"
+                ]
+            )
             evolution = ["create"]
         schema_json = json.dumps(schema.jsonValue())
 

@@ -1,0 +1,272 @@
+"""Structured Streaming source over a :class:`BucketedLakeTable` change feed.
+
+Completes the consumer story for the lake's CDC-out: instead of a manual
+``read_changes(from_version=...)`` poll loop (tests drive that form in
+``TestChangeFeedConsumerChain``), a downstream pipeline subscribes with
+ordinary Structured Streaming and gets watermarks, stateful operators, and
+sinks for free::
+
+    from myzql_binlog_connector_spark.streaming.feed import LakeChangesDataSource
+    spark.dataSource.register(LakeChangesDataSource)
+    feed = (spark.readStream.format("lake_changes")
+            .option("path", table_path)
+            .option("startingVersion", 1)        # or "latest"
+            .option("maxVersionsPerBatch", 10)   # optional rate limit
+            .load())
+
+Why manifest versions make ideal streaming offsets: they are monotonic,
+durable, and a committed version's delta files are immutable — so replaying
+a micro-batch after a crash rereads byte-identical data, which is exactly
+Structured Streaming's exactly-once offset contract.  The source is
+read-only and writer-independent: it never touches LATEST or the
+manifests, and it tolerates a half-finished commit (manifest linked,
+pointer not yet swapped) by rolling the head *view* forward the same way
+``BucketedLakeTable._latest_committed`` does, without performing recovery.
+
+Semantics parity with ``BucketedLakeTable.read_changes``: same rows, same
+``_commit_version`` column, same ``RetentionOverrunError`` when a resume
+would cross the vacuum floor (``allowGaps=true`` opts into flooring, the
+Delta CDF ``startingVersion``-style escape hatch).
+
+Scale shape: the driver only lists commits (KB-sized manifest JSON reads);
+each micro-batch fans one Arrow-native ``read()`` task per commit in the
+batch, and each task streams its delta files as RecordBatches — no
+driver-side row handling, no Python row loop (Spark's Python data source
+Arrow path keeps batches columnar end to end).
+
+The reference has no outbound feed (it is a capture tool; sinks at
+src/output.zig write stdout/files) — this is beyond-parity surface on the
+Spark side of the engine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import LongType, StructField, StructType
+
+from ..plans.lake import LATEST, MANIFEST_DIR, RetentionOverrunError
+
+COMMIT_VERSION_COL = "_commit_version"
+
+
+def _mdir(path: str) -> str:
+    return os.path.join(path, MANIFEST_DIR)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_mdir(path), f"v{version}.json")
+
+
+def _head_version(path: str) -> int:
+    """Newest COMMITTED version, read-only (no recovery side effects):
+    the LATEST pointer, rolled forward past any fully-linked manifest a
+    crashed writer didn't get to publish.  0 = table absent/empty."""
+    try:
+        with open(os.path.join(_mdir(path), LATEST)) as f:
+            head = int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        head = 0
+    while os.path.exists(_manifest_path(path, head + 1)):
+        head += 1
+    return head
+
+
+def _oldest_version(path: str) -> int:
+    try:
+        names = os.listdir(_mdir(path))
+    except FileNotFoundError:
+        return 0
+    vs = [
+        int(m.group(1))
+        for m in (re.fullmatch(r"v(\d+)\.json", n) for n in names)
+        if m
+    ]
+    return min(vs, default=0)
+
+
+@dataclass
+class _CommitPartition(InputPartition):
+    """One committed version's delta files = one read task.  Must stay
+    picklable: plain strings/ints only."""
+
+    version: int
+    files: tuple
+    schema_json: str
+
+
+class LakeChangesDataSource(DataSource):
+    """``format("lake_changes")`` — see module docstring.
+
+    Options: ``path`` (required, table root), ``startingVersion``
+    (int, default 1, or ``latest``), ``maxVersionsPerBatch`` (int rate
+    limit on commits per micro-batch), ``allowGaps`` (bool, default
+    false)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake_changes"
+
+    def _table_schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("lake_changes requires option 'path'")
+        head = _head_version(path)
+        if head == 0:
+            raise FileNotFoundError(
+                f"no committed manifest under {path!r} — create the table "
+                f"(first merge) before subscribing to its change feed"
+            )
+        with open(_manifest_path(path, head)) as f:
+            m = json.load(f)
+        return StructType.fromJson(json.loads(m["schema"]))
+
+    def schema(self) -> StructType:
+        # feed rows = stored schema (payload + META_COLS; _deleted marks
+        # tombstones) + the commit version, exactly like read_changes().
+        # Fields are forced nullable: pre-evolution files null-pad added
+        # columns (and manifests written before the lake stored added
+        # columns as nullable may still carry a non-nullable flag).
+        return StructType(
+            [
+                type(f_)(f_.name, f_.dataType, True)
+                for f_ in self._table_schema().fields
+            ]
+            + [StructField(COMMIT_VERSION_COL, LongType(), False)]
+        )
+
+    def streamReader(self, schema: StructType) -> "LakeChangesStreamReader":
+        return LakeChangesStreamReader(dict(self.options), schema)
+
+
+class LakeChangesStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options["path"]
+        self.schema = schema
+        self.starting = str(options.get("startingversion", "1")).lower()
+        self.allow_gaps = (
+            str(options.get("allowgaps", "false")).lower() == "true"
+        )
+        mvb = options.get("maxversionsperbatch")
+        self.max_versions = int(mvb) if mvb else None
+        # driver-side rate-limit floor: the end of the last planned batch.
+        # Seeding (measured against Spark 4.1's call order, which invokes
+        # latestOffset BEFORE initialOffset on a fresh query): a fresh
+        # query seeds from initialOffset inside latestOffset — correct,
+        # there is no WAL yet; a checkpoint restart replays the last WAL
+        # batch through partitions(start, end) before asking for a new
+        # latestOffset, which snaps the floor to the true committed
+        # position — so a capped latestOffset can never fall below the
+        # WAL and move offsets backward.
+        self._last_end: int | None = None
+
+    # ---- offsets --------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        if self.starting == "latest":
+            v = _head_version(self.path)
+        else:
+            v = int(self.starting) - 1
+        self._last_end = max(self._last_end or 0, v)
+        return {"version": v}
+
+    def latestOffset(self) -> dict:
+        if self._last_end is None:
+            self._last_end = self.initialOffset()["version"]
+        head = _head_version(self.path)
+        if self.max_versions is not None:
+            head = min(head, self._last_end + self.max_versions)
+        head = max(head, self._last_end)  # offsets never move backward
+        self._last_end = head
+        return {"version": head}
+
+    # ---- planning (driver) ----------------------------------------------
+
+    def partitions(self, start: dict, end: dict):
+        s, e = int(start["version"]), int(end["version"])
+        # snap the rate-limit floor to the engine's own position — on a
+        # checkpoint restart this replay runs before any latestOffset
+        self._last_end = max(self._last_end or 0, s, e)
+        if e <= s:
+            return []
+        oldest = _oldest_version(self.path)
+        if s + 1 < oldest:  # same contract as read_changes(from_version=s+1)
+            if not self.allow_gaps:
+                raise RetentionOverrunError(
+                    f"change feed resume at version {s + 1} precedes the "
+                    f"oldest retained version {oldest} (vacuumed): the feed "
+                    f"would be gapped.  Re-bootstrap the consumer from a "
+                    f"snapshot, or set allowGaps=true to accept a feed "
+                    f"starting at {oldest}."
+                )
+            s = oldest - 1
+        with open(_manifest_path(self.path, e)) as f:
+            m = json.load(f)
+        parts = []
+        for rec in m.get("lineage", []):
+            v = rec.get("version")
+            files = rec.get("delta_files")
+            # compaction/rebucket/watermark-only commits move no change
+            # data; read_changes skips them the same way
+            if files and s < v <= e and not rec.get("compaction"):
+                parts.append(
+                    _CommitPartition(
+                        version=int(v),
+                        files=tuple(files),
+                        schema_json=m["schema"],
+                    )
+                )
+        return parts
+
+    # ---- reading (executors, Arrow-native) ------------------------------
+
+    def read(self, partition: _CommitPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        spark_schema = StructType.fromJson(json.loads(partition.schema_json))
+        # align to the QUERY's pinned schema (self.schema minus the commit
+        # column): files committed before an ADD COLUMN lack fields
+        # (null-pad), files after a widen carry wider physical types
+        # (cast) — mirrors _read_files' schema-on-read
+        target_fields = [
+            f_ for f_ in self.schema.fields if f_.name != COMMIT_VERSION_COL
+        ]
+        target = to_arrow_schema(StructType(target_fields))
+        del spark_schema  # files may drift from it; target rules
+        for path in partition.files:
+            for batch in pq.ParquetFile(path).iter_batches():
+                cols = []
+                for f_ in target:
+                    idx = batch.schema.get_field_index(f_.name)
+                    if idx < 0:
+                        cols.append(pa.nulls(batch.num_rows, f_.type))
+                    else:
+                        col = batch.column(idx)
+                        cols.append(
+                            col if col.type == f_.type else col.cast(f_.type)
+                        )
+                cols.append(
+                    pa.array(
+                        [partition.version] * batch.num_rows, pa.int64()
+                    )
+                )
+                yield pa.RecordBatch.from_arrays(
+                    cols,
+                    schema=target.append(
+                        pa.field(COMMIT_VERSION_COL, pa.int64(), False)
+                    ),
+                )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable manifest versions; nothing to ack
