@@ -48,6 +48,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -103,6 +104,78 @@ class _CommitPartition(InputPartition):
     schema_json: str
 
 
+def _plan_commits(
+    path: str, s: int, e: int, allow_gaps: bool
+) -> "list[_CommitPartition]":
+    """One partition per change-data commit in versions (s, e] — shared by
+    the streaming and batch readers.  Same retention contract as
+    ``read_changes(from_version=s+1)``."""
+    if e <= s:
+        return []
+    oldest = _oldest_version(path)
+    if s + 1 < oldest:
+        if not allow_gaps:
+            raise RetentionOverrunError(
+                f"change feed resume at version {s + 1} precedes the "
+                f"oldest retained version {oldest} (vacuumed): the feed "
+                f"would be gapped.  Re-bootstrap the consumer from a "
+                f"snapshot, or set allowGaps=true to accept a feed "
+                f"starting at {oldest}."
+            )
+        s = oldest - 1
+    with open(_manifest_path(path, e)) as f:
+        m = json.load(f)
+    parts = []
+    for rec in m.get("lineage", []):
+        v = rec.get("version")
+        files = rec.get("delta_files")
+        # compaction/rebucket/watermark-only commits move no change
+        # data; read_changes skips them the same way
+        if files and s < v <= e and not rec.get("compaction"):
+            parts.append(
+                _CommitPartition(
+                    version=int(v),
+                    files=tuple(files),
+                    schema_json=m["schema"],
+                )
+            )
+    return parts
+
+
+def _read_commit(partition: _CommitPartition, query_schema: StructType):
+    """Stream one commit's delta files as Arrow RecordBatches aligned to
+    the query's pinned schema — executor-side, shared by both readers.
+    Files committed before an ADD COLUMN lack fields (null-pad); files
+    after a widen carry wider physical types (cast) — mirrors
+    ``_read_files``' schema-on-read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target_fields = [
+        f_ for f_ in query_schema.fields if f_.name != COMMIT_VERSION_COL
+    ]
+    target = to_arrow_schema(StructType(target_fields))
+    out_schema = target.append(pa.field(COMMIT_VERSION_COL, pa.int64(), False))
+    for path in partition.files:
+        for batch in pq.ParquetFile(path).iter_batches():
+            cols = []
+            for f_ in target:
+                idx = batch.schema.get_field_index(f_.name)
+                if idx < 0:
+                    cols.append(pa.nulls(batch.num_rows, f_.type))
+                else:
+                    col = batch.column(idx)
+                    cols.append(
+                        col if col.type == f_.type else col.cast(f_.type)
+                    )
+            cols.append(
+                pa.array([partition.version] * batch.num_rows, pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
+
+
 class LakeChangesDataSource(DataSource):
     """``format("lake_changes")`` — see module docstring.
 
@@ -145,6 +218,9 @@ class LakeChangesDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "LakeChangesStreamReader":
         return LakeChangesStreamReader(dict(self.options), schema)
+
+    def reader(self, schema: StructType) -> "LakeChangesBatchReader":
+        return LakeChangesBatchReader(dict(self.options), schema)
 
 
 class LakeChangesStreamReader(DataSourceStreamReader):
@@ -195,78 +271,38 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         # snap the rate-limit floor to the engine's own position — on a
         # checkpoint restart this replay runs before any latestOffset
         self._last_end = max(self._last_end or 0, s, e)
-        if e <= s:
-            return []
-        oldest = _oldest_version(self.path)
-        if s + 1 < oldest:  # same contract as read_changes(from_version=s+1)
-            if not self.allow_gaps:
-                raise RetentionOverrunError(
-                    f"change feed resume at version {s + 1} precedes the "
-                    f"oldest retained version {oldest} (vacuumed): the feed "
-                    f"would be gapped.  Re-bootstrap the consumer from a "
-                    f"snapshot, or set allowGaps=true to accept a feed "
-                    f"starting at {oldest}."
-                )
-            s = oldest - 1
-        with open(_manifest_path(self.path, e)) as f:
-            m = json.load(f)
-        parts = []
-        for rec in m.get("lineage", []):
-            v = rec.get("version")
-            files = rec.get("delta_files")
-            # compaction/rebucket/watermark-only commits move no change
-            # data; read_changes skips them the same way
-            if files and s < v <= e and not rec.get("compaction"):
-                parts.append(
-                    _CommitPartition(
-                        version=int(v),
-                        files=tuple(files),
-                        schema_json=m["schema"],
-                    )
-                )
-        return parts
+        return _plan_commits(self.path, s, e, self.allow_gaps)
 
     # ---- reading (executors, Arrow-native) ------------------------------
 
     def read(self, partition: _CommitPartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        from pyspark.sql.pandas.types import to_arrow_schema
-
-        spark_schema = StructType.fromJson(json.loads(partition.schema_json))
-        # align to the QUERY's pinned schema (self.schema minus the commit
-        # column): files committed before an ADD COLUMN lack fields
-        # (null-pad), files after a widen carry wider physical types
-        # (cast) — mirrors _read_files' schema-on-read
-        target_fields = [
-            f_ for f_ in self.schema.fields if f_.name != COMMIT_VERSION_COL
-        ]
-        target = to_arrow_schema(StructType(target_fields))
-        del spark_schema  # files may drift from it; target rules
-        for path in partition.files:
-            for batch in pq.ParquetFile(path).iter_batches():
-                cols = []
-                for f_ in target:
-                    idx = batch.schema.get_field_index(f_.name)
-                    if idx < 0:
-                        cols.append(pa.nulls(batch.num_rows, f_.type))
-                    else:
-                        col = batch.column(idx)
-                        cols.append(
-                            col if col.type == f_.type else col.cast(f_.type)
-                        )
-                cols.append(
-                    pa.array(
-                        [partition.version] * batch.num_rows, pa.int64()
-                    )
-                )
-                yield pa.RecordBatch.from_arrays(
-                    cols,
-                    schema=target.append(
-                        pa.field(COMMIT_VERSION_COL, pa.int64(), False)
-                    ),
-                )
+        yield from _read_commit(partition, self.schema)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable manifest versions; nothing to ack
+
+
+class LakeChangesBatchReader(DataSourceReader):
+    """``spark.read.format("lake_changes")`` — the one-shot form of the
+    feed (Delta CDF ``table_changes`` analogue): versions
+    ``[startingVersion, endingVersion]`` as a batch DataFrame, same rows
+    and retention semantics as the stream and ``read_changes``."""
+
+    def __init__(self, options: dict, schema: StructType):
+        self.path = options["path"]
+        self.schema = schema
+        self.starting = int(options.get("startingversion", 1))
+        ev = options.get("endingversion")
+        self.ending = int(ev) if ev else None
+        self.allow_gaps = (
+            str(options.get("allowgaps", "false")).lower() == "true"
+        )
+
+    def partitions(self):
+        end = self.ending if self.ending is not None else _head_version(self.path)
+        return _plan_commits(
+            self.path, self.starting - 1, end, self.allow_gaps
+        )
+
+    def read(self, partition: _CommitPartition):
+        yield from _read_commit(partition, self.schema)

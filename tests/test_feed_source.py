@@ -226,6 +226,62 @@ class TestRetention:
             q.stop()
 
 
+class TestBatchReader:
+    def test_batch_read_matches_read_changes(self, spark, table, registered):
+        table.merge(
+            _chg(spark, [(f"c{i}", 0, f"v{i}", 1, False) for i in range(6)]),
+            batch_id=0,
+        )
+        table.merge(_chg(spark, [("c1", 0, "v1b", 2, False)]), batch_id=1)
+        table.merge(_chg(spark, [("c2", 0, None, 3, True)]), batch_id=2)
+        got = (
+            spark.read.format("lake_changes")
+            .option("path", table.path)
+            .load()
+        )
+        want = table.read_changes(from_version=1)
+        key = lambda r: (
+            r.conv_id, r.turn_idx, r.text or "", r._deleted, r._commit_version
+        )
+        assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+    def test_version_bounds_and_retention(self, spark, table, registered):
+        from myzql_binlog_connector_spark.plans.lake import (
+            RetentionOverrunError,
+        )
+
+        for g in range(5):
+            table.merge(
+                _chg(spark, [(f"c{g}", 0, "x", g + 1, False)]), batch_id=g
+            )
+        df = (
+            spark.read.format("lake_changes")
+            .option("path", table.path)
+            .option("startingVersion", "2")
+            .option("endingVersion", "4")
+            .load()
+        )
+        assert {r._commit_version for r in df.collect()} == {2, 3, 4}
+        table.vacuum(retain_last=2)
+        with pytest.raises(Exception) as ei:  # surfaced through the scan plan
+            (
+                spark.read.format("lake_changes")
+                .option("path", table.path)
+                .load()
+                .collect()
+            )
+        assert "RetentionOverrunError" in str(ei.value) or "precedes" in str(
+            ei.value
+        )
+        floored = (
+            spark.read.format("lake_changes")
+            .option("path", table.path)
+            .option("allowGaps", "true")
+            .load()
+        )
+        assert {r._commit_version for r in floored.collect()} == {4, 5}
+
+
 class TestSchemaEvolution:
     def test_pre_evolution_files_null_pad(self, spark, table, registered):
         """Feed pinned at the latest schema: files committed before an ADD
