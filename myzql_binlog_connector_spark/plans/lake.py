@@ -115,6 +115,49 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
     return out
 
 
+def iter_commit_deltas(
+    table_path: str, lo: int, hi: int, head_manifest: dict
+) -> list[tuple[int, list[str]]]:
+    """``[(version, delta_files), ...]`` for change-data commits in
+    ``[lo, hi]`` — the shared planning step of the change feed (batch
+    ``read_changes`` and the ``lake_changes`` streaming source).
+
+    The head manifest's lineage covers only its trailing window (commits
+    older than that are trimmed to bound manifest size), but every
+    retained VERSION still has its own manifest whose lineage tail is its
+    own commit record — so a consumer further behind than the lineage
+    window is served from per-version manifests (one KB-sized JSON read
+    per missing version) instead of silently losing the older commits.
+    Compaction / rebucket / watermark-only commits move no change data and
+    are skipped."""
+    covered: dict[int, list[str]] = {}
+    for rec in head_manifest.get("lineage", []):
+        v = rec.get("version")
+        files = rec.get("delta_files")
+        if files and lo <= v <= hi and not rec.get("compaction"):
+            covered[int(v)] = files
+    seen = {
+        rec.get("version")
+        for rec in head_manifest.get("lineage", [])
+        if rec.get("version") is not None
+    }
+    window_floor = min(seen, default=lo)
+    for v in range(lo, min(hi, window_floor - 1) + 1):
+        # below the head's lineage window: ask the version's own manifest
+        mpath = os.path.join(table_path, MANIFEST_DIR, f"v{v}.json")
+        try:
+            with open(mpath) as f:
+                mv = json.load(f)
+        except FileNotFoundError:
+            continue  # vacuumed: caller's retention check already ruled
+        lineage = mv.get("lineage") or []
+        rec = lineage[-1] if lineage else {}
+        files = rec.get("delta_files")
+        if rec.get("version") == v and files and not rec.get("compaction"):
+            covered[v] = files
+    return sorted(covered.items())
+
+
 class RetentionOverrunError(ValueError):
     """A change-feed consumer asked for versions that vacuum has expired —
     resuming would silently gap the feed (Delta CDF / Iceberg changelog
@@ -148,6 +191,7 @@ class BucketedLakeTable:
         codec: str = "snappy",
         auto_fold: bool = True,
         stats_cols: list[str] | None = None,
+        lineage_keep: int = 200,
     ):
         self.spark = spark
         self.path = path
@@ -191,6 +235,10 @@ class BucketedLakeTable:
         # can't match — Delta/Iceberg data skipping.  Default off: a table
         # nobody range-queries shouldn't pay even the footer reads.
         self.stats_cols = list(stats_cols) if stats_cols else None
+        # lineage window kept in each manifest (bounds manifest size; the
+        # change feed serves versions below the window from per-version
+        # manifests, see iter_commit_deltas)
+        self.lineage_keep = lineage_keep
 
     # ------------------------------------------------------------------
     # manifest plumbing
@@ -606,16 +654,12 @@ class BucketedLakeTable:
                 f"allow_gaps=True to accept a feed starting at {oldest}."
             )
         lo = max(from_version, oldest)
-        parts = []
-        for rec in m.get("lineage", []):
-            v = rec.get("version")
-            files = rec.get("delta_files")
-            if files and lo <= v <= hi and not rec.get("compaction"):
-                parts.append(
-                    self._read_files(files, m["schema"]).withColumn(
-                        "_commit_version", F.lit(int(v))
-                    )
-                )
+        parts = [
+            self._read_files(files, m["schema"]).withColumn(
+                "_commit_version", F.lit(int(v))
+            )
+            for v, files in iter_commit_deltas(self.path, lo, hi, m)
+        ]
         if not parts:
             empty = self._read_files([], m["schema"])
             return empty.withColumn("_commit_version", F.lit(0)).limit(0)
@@ -914,7 +958,9 @@ class BucketedLakeTable:
             "key_cols": self.key_cols,
             "files": new_files,
             "watermarks": dict(wms),
-            "lineage": ((m or {}).get("lineage", []) + [record])[-200:],
+            "lineage": ((m or {}).get("lineage", []) + [record])[
+                -self.lineage_keep:
+            ],
         }
         if file_stats is not None:
             manifest["file_stats"] = file_stats

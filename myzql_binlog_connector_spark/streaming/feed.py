@@ -54,7 +54,12 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import LongType, StructField, StructType
 
-from ..plans.lake import LATEST, MANIFEST_DIR, RetentionOverrunError
+from ..plans.lake import (
+    LATEST,
+    MANIFEST_DIR,
+    RetentionOverrunError,
+    iter_commit_deltas,
+)
 
 COMMIT_VERSION_COL = "_commit_version"
 
@@ -125,21 +130,16 @@ def _plan_commits(
         s = oldest - 1
     with open(_manifest_path(path, e)) as f:
         m = json.load(f)
-    parts = []
-    for rec in m.get("lineage", []):
-        v = rec.get("version")
-        files = rec.get("delta_files")
-        # compaction/rebucket/watermark-only commits move no change
-        # data; read_changes skips them the same way
-        if files and s < v <= e and not rec.get("compaction"):
-            parts.append(
-                _CommitPartition(
-                    version=int(v),
-                    files=tuple(files),
-                    schema_json=m["schema"],
-                )
-            )
-    return parts
+    # shared with read_changes: covers the head manifest's lineage window
+    # AND — for a consumer further behind than the window — the older
+    # retained versions via their own manifests; skips compaction/
+    # rebucket/watermark-only commits (no change data)
+    return [
+        _CommitPartition(
+            version=int(v), files=tuple(files), schema_json=m["schema"]
+        )
+        for v, files in iter_commit_deltas(path, s + 1, e, m)
+    ]
 
 
 def _read_commit(partition: _CommitPartition, query_schema: StructType):

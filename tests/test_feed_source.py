@@ -302,3 +302,29 @@ class TestSchemaEvolution:
             assert rows == {("a", None, 1), ("b", "en", 2)}
         finally:
             q.stop()
+
+
+class TestLineageWindowOverrun:
+    def test_stream_serves_versions_below_lineage_window(
+        self, spark, tmp_path, registered
+    ):
+        """A subscriber that starts (or resumes) further behind than the
+        head manifest's lineage window still receives every commit —
+        per-version manifests fill the gap."""
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        t = BucketedLakeTable(
+            spark, str(tmp_path / "t"), ["conv_id", "turn_idx"],
+            n_buckets=4, lineage_keep=2,
+        )
+        for g in range(5):
+            t.merge(
+                _chg(spark, [(f"c{g}", 0, f"v{g}", g + 1, False)]), batch_id=g
+            )
+        q = _start(spark, t.path, "feed_window")
+        try:
+            q.processAllAvailable()
+            got = {(r[0], r[4]) for r in _feed_rows(spark, "feed_window")}
+            assert got == {(f"c{g}", g + 1) for g in range(5)}
+        finally:
+            q.stop()

@@ -1067,3 +1067,45 @@ class TestRebucket:
         assert table.rebucket(8) == {"version": v, "rebucket": None}
         with pytest.raises(ValueError, match="n_buckets"):
             table.rebucket(0)
+
+
+class TestLineageWindowOverrun:
+    """A consumer further behind than the manifest's lineage window (but
+    not vacuumed) must still get EVERY commit — older versions are served
+    from their own manifests, never silently dropped (the lineage cap
+    bounds manifest size, not feed retention)."""
+
+    def test_read_changes_beyond_lineage_window(self, spark, tmp_path):
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        t = BucketedLakeTable(
+            spark, str(tmp_path / "t"), ["conv_id", "turn_idx"],
+            n_buckets=4, lineage_keep=3,
+        )
+        for g in range(6):
+            t.merge(
+                _mk_changes(spark, [(f"c{g}", 0, f"v{g}", g + 1, False)]),
+                batch_id=g,
+            )
+        assert len(t.lineage()) == 3  # the window really is trimmed
+        feed = t.read_changes(from_version=1)
+        got = {(r.conv_id, r._commit_version) for r in feed.collect()}
+        assert got == {(f"c{g}", g + 1) for g in range(6)}
+
+    def test_compaction_below_window_not_resurfaced(self, spark, tmp_path):
+        """A compaction commit older than the window must stay invisible
+        to the feed (its manifest's lineage tail is a compaction record)."""
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        t = BucketedLakeTable(
+            spark, str(tmp_path / "t"), ["conv_id", "turn_idx"],
+            n_buckets=4, lineage_keep=2,
+        )
+        t.merge(_mk_changes(spark, [("a", 0, "x", 1, False)]), batch_id=0)
+        t.merge(_mk_changes(spark, [("a", 0, "x2", 2, False)]), batch_id=1)
+        t.compact()  # v3, below the window after the next two merges
+        t.merge(_mk_changes(spark, [("b", 0, "y", 4, False)]), batch_id=2)
+        t.merge(_mk_changes(spark, [("c", 0, "z", 5, False)]), batch_id=3)
+        feed = t.read_changes(from_version=1)
+        got = {(r.conv_id, r._commit_version) for r in feed.collect()}
+        assert got == {("a", 1), ("a", 2), ("b", 4), ("c", 5)}
