@@ -446,12 +446,7 @@ class BucketedLakeTable:
         ``n_buckets`` comes from the manifest BEING READ, not the handle —
         a time-travel read across a ``rebucket`` must hash against that
         snapshot's layout."""
-        key_fields = StructType(
-            [type(schema[c])(c, schema[c].dataType, True) for c in self.key_cols]
-        )
-        probe = self.spark.createDataFrame(
-            [tuple(k[c] for c in self.key_cols) for k in keys], key_fields
-        )
+        probe = self._key_probe_df(keys, schema)
         return {
             r["b"]
             for r in probe.select(
@@ -512,10 +507,16 @@ class BucketedLakeTable:
             }
         return buckets
 
+    # OR-predicate lookups stay under this many key tuples; larger probe
+    # sets switch to a broadcast semi-join (a 10k-term boolean expression
+    # would blow up codegen/analysis, a broadcast of 10k keys is trivial)
+    KEY_PREDICATE_MAX = 64
+
     def _key_cond(self, keys: list[dict], schema: StructType):
         """Row-level predicate for exact key tuples (OR over tuples, AND
         over key columns, null-safe equality typed from the stored
-        schema)."""
+        schema).  Only used for probe sets small enough to inline —
+        see :meth:`_apply_keys`."""
         conds = None
         for k in keys:
             cond = None
@@ -524,6 +525,28 @@ class BucketedLakeTable:
                 cond = eq if cond is None else (cond & eq)
             conds = cond if conds is None else (conds | cond)
         return conds
+
+    def _key_probe_df(self, keys: list[dict], schema: StructType) -> DataFrame:
+        key_fields = StructType(
+            [type(schema[c])(c, schema[c].dataType, True) for c in self.key_cols]
+        )
+        return self.spark.createDataFrame(
+            [tuple(k[c] for c in self.key_cols) for k in keys], key_fields
+        ).dropDuplicates()
+
+    def _apply_keys(self, part: DataFrame, keys: list[dict], schema: StructType) -> DataFrame:
+        """Restrict ``part`` to the probe key tuples.  Small sets inline an
+        OR predicate (pushes into the parquet scan); big sets broadcast a
+        semi-join instead — same per-key-group semantics, so both forms
+        commute with the LWW aggregate."""
+        if len(keys) <= self.KEY_PREDICATE_MAX:
+            return part.filter(self._key_cond(keys, schema))
+        probe = F.broadcast(self._key_probe_df(keys, schema))
+        cond = None
+        for c in self.key_cols:  # eqNullSafe: same NULL-key semantics as
+            e = part[c].eqNullSafe(probe[c])  # the predicate path
+            cond = e if cond is None else (cond & e)
+        return part.join(probe, on=cond, how="leftsemi")
 
     def _lww(self, df: DataFrame, schema: StructType) -> DataFrame:
         """Resolve last-writer-wins per key (merge-on-read).  max_by hash
@@ -586,8 +609,6 @@ class BucketedLakeTable:
         single, multi = [], []
         for fl in bucket_files.values():
             (multi if len(fl) > 1 else single).extend(fl)
-        key_cond = self._key_cond(keys, schema) if keys else None
-
         def range_filter(part: DataFrame) -> DataFrame:
             for c, (lo, hi) in (ranges or {}).items():
                 if lo is not None:
@@ -599,13 +620,13 @@ class BucketedLakeTable:
         parts = []
         if single:
             part = self._read_files(single, m["schema"])
-            if key_cond is not None:
-                part = part.filter(key_cond)
+            if keys:
+                part = self._apply_keys(part, keys, schema)
             parts.append(range_filter(part))
         if multi:
             part = self._read_files(multi, m["schema"])
-            if key_cond is not None:
-                part = part.filter(key_cond)  # pre-LWW: commutes
+            if keys:
+                part = self._apply_keys(part, keys, schema)  # pre-LWW: commutes
             parts.append(range_filter(self._lww(part, schema)))
         if not parts:
             parts = [self._read_files([], m["schema"])]

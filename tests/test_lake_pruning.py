@@ -230,6 +230,52 @@ class TestRangeSkipping:
         got = table.read(ranges={"ts": (50, 60)})
         assert _rows(got) == {r for r in before if 50 <= r[3] <= 60}
 
+    def test_big_key_set_uses_semi_join_and_stays_exact(self, spark, table):
+        """Past KEY_PREDICATE_MAX tuples, the lookup switches from an
+        inlined OR predicate (would blow up codegen at 10k keys) to a
+        broadcast semi-join — same rows, including across multi-file LWW
+        buckets."""
+        table.merge(
+            _mk_changes(
+                spark, [(f"c{i}", 0, f"v{i}", i, 1, False) for i in range(300)]
+            ),
+            batch_id=0,
+        )
+        table.merge(_mk_changes(spark, [("c5", 0, "v5b", 999, 2, False)]), batch_id=1)
+        keys = [{"conv_id": f"c{i}", "turn_idx": 0} for i in range(0, 200, 2)]
+        assert len(keys) > table.KEY_PREDICATE_MAX
+        got = table.read(keys=keys)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan and "Broadcast" in plan
+        want = {
+            (f"c{i}", 0, "v5b" if i == 5 else f"v{i}", 999 if i == 5 else i)
+            for i in range(0, 200, 2)
+        }
+        assert _rows(got) == want
+
+    def test_distributed_footer_stats_past_64_files(self, spark, tmp_path):
+        """>64 files per commit takes the executor-parallel stats path —
+        the manifest must still carry complete, correct min/max."""
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        t = BucketedLakeTable(
+            spark, str(tmp_path / "big"), ["conv_id", "turn_idx"],
+            n_buckets=128, stats_cols=["ts"],
+        )
+        t.merge(
+            _mk_changes(
+                spark, [(f"k{i}", 0, "x", 1000 + i, 1, False) for i in range(600)]
+            ),
+            batch_id=0,
+        )
+        m = t.snapshot_manifest()
+        live = [p for fl in m["files"].values() for p in fl]
+        assert len(live) > 64  # actually exercised the parallelize path
+        stats = m["file_stats"]
+        assert set(stats) == set(live)
+        assert min(s["ts"][0] for s in stats.values()) == 1000
+        assert max(s["ts"][1] for s in stats.values()) == 1599
+
     def test_keys_and_ranges_compose(self, spark, table):
         table.merge(
             _mk_changes(
