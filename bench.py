@@ -424,6 +424,87 @@ def bench_point_lookup(spark, sf_tag: str, n_buckets: int = 256) -> dict:
         shutil.rmtree(run_dir, ignore_errors=True)
 
 
+def bench_feed_stream(spark, sf_tag: str, n_buckets: int = 32) -> dict:
+    """Change-feed consumer throughput: the 'lake_changes' source (stream
+    and batch forms) draining a multi-commit table.  The number that
+    matters at 100 TB is rows/sec of feed DELIVERY — the source only ever
+    plans KB-sized manifest reads on the driver and fans one Arrow task
+    per commit, so delivery should track raw parquet scan speed."""
+    import glob
+
+    from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+    from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+    from myzql_binlog_connector_spark.streaming.feed import (
+        LakeChangesDataSource,
+    )
+
+    seg_dir, _n_ops = ensure_cdc_fixture(sf_tag)
+    run_dir = scratch_dir("bench_feed_")
+    ckpt_root = scratch_dir("bench_feed_ck_")
+    try:
+        paths = sorted(glob.glob(os.path.join(seg_dir, "*.parquet")))
+        table = BucketedLakeTable(
+            spark, run_dir, ["conv_id", "turn_idx"], n_buckets=n_buckets
+        )
+        applier = TranscriptsApplier(spark, table, salt=None)
+        # 4 commits -> 4 feed partitions per full drain
+        step = max(1, len(paths) // 4)
+        for b, i in enumerate(range(0, len(paths), step)):
+            applier.apply_files(paths[i : i + step], batch_id=b)
+        spark.dataSource.register(LakeChangesDataSource)
+
+        def drain_batch():
+            return (
+                spark.read.format("lake_changes")
+                .option("path", run_dir)
+                .load()
+                .count()
+            )
+
+        def drain_stream(tag):
+            q = (
+                spark.readStream.format("lake_changes")
+                .option("path", run_dir)
+                .load()
+                .writeStream.format("noop")
+                .option(
+                    "checkpointLocation", os.path.join(ckpt_root, tag)
+                )
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                return sum(
+                    p["numInputRows"] for p in (q.recentProgress or [])
+                )
+            finally:
+                q.stop()
+
+        n_rows = drain_batch()  # warm
+        batch_trials, stream_trials = [], []
+        for i in range(2):
+            t0 = time.monotonic()
+            drain_batch()
+            batch_trials.append(round(time.monotonic() - t0, 3))
+            t0 = time.monotonic()
+            got = drain_stream(f"t{i}")
+            stream_trials.append(round(time.monotonic() - t0, 3))
+            assert got == n_rows, (got, n_rows)
+        b, s = min(batch_trials), min(stream_trials)
+        return {
+            "rows": n_rows,
+            "batch_sec": b,
+            "batch_trials": batch_trials,
+            "batch_rows_per_sec": round(n_rows / b, 1),
+            "stream_sec": s,
+            "stream_trials": stream_trials,
+            "stream_rows_per_sec": round(n_rows / s, 1),
+        }
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_root, ignore_errors=True)
+
+
 HEADLINE = [
     "lww_dedup_events",
     "lww_dedup_salted_events",
@@ -470,6 +551,8 @@ def main():
     queries["cdc_multitable_fanout"] = mt["multi_sec"]
     lk = bench_point_lookup(spark, sf_tag)
     queries["lake_point_lookup"] = lk["pruned_sec"]
+    fd = bench_feed_stream(spark, sf_tag)
+    queries["lake_feed_stream"] = fd["stream_sec"]
 
     from myzql_binlog_connector_spark.operators.fuzzy import release_cached
 
@@ -558,6 +641,7 @@ def main():
             "cdc_decode_shuffle": dec_sh["trials"],
             "cdc_multitable_fanout": mt["multi_trials"],
             "lake_point_lookup": lk["pruned_trials"],
+            "lake_feed_stream": fd["stream_trials"],
             **trials_out,
         },
         "sf": sf,
@@ -567,6 +651,7 @@ def main():
         "cdc_decode_shuffle": dec_sh,
         "cdc_multitable": mt,
         "lake_point_lookup": lk,
+        "lake_feed_stream": fd,
         "ivf_cells": ivf_cells,
         "ivf_recall": ivf_recall,
         "scratch": "tmpfs" if os.path.isdir("/dev/shm")
