@@ -56,3 +56,56 @@ class TestDriverContract:
         df = e.entry(spark)
         assert df.columns == ["doc_id", "text", "lang", "source", "n_chars"]
         assert df.count() > 0
+
+
+class TestLakeMaintainCli:
+    """scripts/lake_maintain.py — the scheduled-maintenance half of the
+    merge-on-read contract, as a scriptable CLI (one JSON line/action)."""
+
+    def _mk(self, spark, path, n=6):
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        t = BucketedLakeTable(
+            spark, path, ["conv_id", "turn_idx"], n_buckets=4,
+            max_files_per_bucket=2, auto_fold=False,
+        )
+        for g in range(n):
+            t.merge(
+                spark.createDataFrame(
+                    [("k", 0, f"v{g}", False, g + 1, g + 1, 1)],
+                    "conv_id string, turn_idx bigint, text string, "
+                    "_deleted boolean, _gtid bigint, _event_seq bigint, "
+                    "_event_row_index bigint",
+                ),
+                batch_id=g,
+            )
+        return t
+
+    def test_status_compact_vacuum_rebucket(self, spark, tmp_path, capsys):
+        import json as _json
+
+        from scripts.lake_maintain import main
+
+        path = str(tmp_path / "t")
+        t = self._mk(spark, path)
+        rc = main([path, "--keys", "conv_id,turn_idx", "--status",
+                   "--max-files-per-bucket", "2",
+                   "--compact", "--rebucket", "8", "--vacuum", "2"])
+        assert rc == 0
+        recs = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+        by = {r["action"]: r for r in recs}
+        assert by["status"]["needs_fold"]  # deferred-fold table is over bound
+        assert by["compact"]["compacted_buckets"]
+        assert by["rebucket"]["rebucket"] == [4, 8]
+        assert by["vacuum"]["retained_versions"]
+        assert {(r.conv_id, r.text) for r in t.read().collect()} == {("k", "v5")}
+
+    def test_key_mismatch_fails_loud(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from scripts.lake_maintain import main
+
+        path = str(tmp_path / "t")
+        self._mk(spark, path, n=1)
+        with _pytest.raises(ValueError, match="keyed by"):
+            main([path, "--keys", "conv_id", "--status"])
