@@ -639,6 +639,27 @@ class BucketedLakeTable:
             df = df.drop(*META_COLS, "_bucket")
         return df
 
+    def snapshot_with_version(
+        self, include_meta: bool = False
+    ) -> tuple[DataFrame, int]:
+        """The race-free consumer bootstrap pair: a snapshot DataFrame AND
+        the version it is pinned to, resolved from ONE manifest read.
+
+        ``read()`` then ``snapshot_manifest()['version']`` separately is a
+        classic CDC bug — a commit landing between the two makes the
+        follow-on feed (``startingVersion = version + 1``) either skip or
+        double-apply that commit.  Pin both to the same manifest:
+
+            snap, v = table.snapshot_with_version(include_meta=True)
+            ... materialize snap ...
+            spark.readStream.format("lake_changes")
+                 .option("path", table.path)
+                 .option("startingVersion", v + 1).load()
+        """
+        m = self._read_manifest()
+        v = int(m["version"])
+        return self.read(at_version=v, include_meta=include_meta), v
+
     def read_changes(
         self,
         from_version: int = 1,
