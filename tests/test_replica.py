@@ -152,3 +152,54 @@ class TestReplicate:
             assert got == {("a", None), ("b", "en")}
         finally:
             q.stop()
+
+
+class TestMultiTableReplication:
+    def test_each_fanout_table_replicates_independently(self, spark, tmp_path):
+        """MultiTableApplier tables are ordinary lake tables, so 'replicate
+        the whole database' composes as one replicate() per table — each
+        with its own feed, checkpoint, and (possibly different) bucket
+        count."""
+        from myzql_binlog_connector_spark.plans.apply import MultiTableApplier
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+        from myzql_binlog_connector_spark.streaming.replica import replicate
+        from tests.test_multitable import (
+            _events_df_from_writer, _two_table_stream,
+        )
+        from myzql_binlog_connector_spark.functions.decode import decode_changes
+
+        env = decode_changes(_events_df_from_writer(spark, [_two_table_stream()]))
+        mt = MultiTableApplier(
+            spark,
+            str(tmp_path / "lake"),
+            table_specs={
+                ("chat", "transcripts"): {
+                    "column_names": ["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+                    "key_positions": (0, 1),
+                    "n_buckets": 4,
+                },
+                ("app", "users"): {
+                    "column_names": ["user_id", "name"],
+                    "key_positions": (0,),
+                    "n_buckets": 4,
+                },
+            },
+        )
+        mt.apply_batch(env, batch_id=0)
+        for i, (db, tbl) in enumerate([("chat", "transcripts"), ("app", "users")]):
+            src = mt.table_for(db, tbl)
+            dst = BucketedLakeTable(
+                spark, str(tmp_path / "replica" / db / tbl),
+                src.key_cols, n_buckets=8,
+            )
+            q = replicate(
+                spark, src.path, dst, str(tmp_path / f"ck{i}"),
+                bootstrap_from=src,
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            a = sorted(map(tuple, src.read().collect()))
+            b = sorted(map(tuple, dst.read().collect()))
+            assert a == b and a, (db, tbl)
