@@ -148,6 +148,7 @@ def _read_commit(partition: _CommitPartition, query_schema: StructType):
     Files committed before an ADD COLUMN lack fields (null-pad); files
     after a widen carry wider physical types (cast) — mirrors
     ``_read_files``' schema-on-read."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -171,7 +172,9 @@ def _read_commit(partition: _CommitPartition, query_schema: StructType):
                         col if col.type == f_.type else col.cast(f_.type)
                     )
             cols.append(
-                pa.array([partition.version] * batch.num_rows, pa.int64())
+                pa.array(
+                    np.full(batch.num_rows, partition.version, dtype=np.int64)
+                )
             )
             yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
