@@ -424,7 +424,9 @@ def bench_point_lookup(spark, sf_tag: str, n_buckets: int = 256) -> dict:
         shutil.rmtree(run_dir, ignore_errors=True)
 
 
-def bench_feed_stream(spark, sf_tag: str, n_buckets: int = 32) -> dict:
+def bench_feed_stream(
+    spark, sf_tag: str, n_buckets: int = 32, chunk_bytes: int | None = None
+) -> dict:
     """Change-feed consumer throughput: the 'lake_changes' source (stream
     and batch forms) draining a multi-commit table.  The number that
     matters at 100 TB is rows/sec of feed DELIVERY — the source only ever
@@ -453,18 +455,18 @@ def bench_feed_stream(spark, sf_tag: str, n_buckets: int = 32) -> dict:
             applier.apply_files(paths[i : i + step], batch_id=b)
         spark.dataSource.register(LakeChangesDataSource)
 
+        def _opts(reader):
+            reader = reader.option("path", run_dir)
+            if chunk_bytes:
+                reader = reader.option("chunkBytes", str(chunk_bytes))
+            return reader
+
         def drain_batch():
-            return (
-                spark.read.format("lake_changes")
-                .option("path", run_dir)
-                .load()
-                .count()
-            )
+            return _opts(spark.read.format("lake_changes")).load().count()
 
         def drain_stream(tag):
             q = (
-                spark.readStream.format("lake_changes")
-                .option("path", run_dir)
+                _opts(spark.readStream.format("lake_changes"))
                 .load()
                 .writeStream.format("noop")
                 .option(

@@ -1,0 +1,71 @@
+"""2c/8c scaling window for the change-feed drain (the 'lake_changes'
+source), same methodology as scripts/scaling_bench.py: each level in a
+fresh taskset-pinned subprocess (JVM + python workers + arrow pools all
+bounded), tmpfs scratch, best-of-2 per form with trials published.  Runs with
+chunkBytes=4MB so the bench-scale table (~130 MB of deltas) fans out over
+~32 tasks — the task geometry a 100 TB feed would have at the default
+128 MB budget.
+
+The feed is scan+planning work: per-commit planning is constant driver
+cost, delivery is embarrassingly parallel parquet reads — so the drain
+should scale near-linearly until the host memory bus saturates.  Appends
+nothing; prints one JSON line for BENCH/BASELINE.md Appendix H."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = """
+import sys, json
+sys.path.insert(0, %(repo)r)
+import bench
+cpus = int(sys.argv[1])
+spark = bench.build_spark(cpus)
+spark.sparkContext.setLogLevel("ERROR")
+res = bench.bench_feed_stream(spark, "sf0.1", chunk_bytes=4 << 20)
+res["cpus"] = cpus
+print("RESULT:" + json.dumps(res))
+spark.stop()
+"""
+
+
+def run_level(cpus: int) -> dict:
+    env = dict(os.environ)
+    os.makedirs("/dev/shm/spark_graft_scratch", exist_ok=True)
+    env.setdefault("TMPDIR", "/dev/shm/spark_graft_scratch")
+    env.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark_graft_scratch")
+    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c",
+           CHILD % {"repo": REPO}, str(cpus)]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=3600, cwd=REPO, env=env,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT:"):
+            return json.loads(line[len("RESULT:"):])
+    raise RuntimeError(f"no result at cpus={cpus}:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+
+
+def main():
+    small = int(os.environ.get("SCALING_N", "2"))
+    big = small * 4
+    lo, hi = run_level(small), run_level(big)
+    out = {
+        "metric": "feed_drain_scaling",
+        "levels": {str(small): lo, str(big): hi},
+        "batch_efficiency": round(
+            hi["batch_rows_per_sec"] / (4 * lo["batch_rows_per_sec"]), 3
+        ),
+        "stream_efficiency": round(
+            hi["stream_rows_per_sec"] / (4 * lo["stream_rows_per_sec"]), 3
+        ),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
