@@ -326,7 +326,8 @@ class LakeChangesStreamReader(DataSourceStreamReader):
     # ---- reading (executors, Arrow-native) ------------------------------
 
     def read(self, partition: _CommitPartition):
-        yield from _read_commit(partition, self.schema)
+        if partition is not None:  # None = engine's empty-plan sentinel
+            yield from _read_commit(partition, self.schema)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable manifest versions; nothing to ack
@@ -359,4 +360,8 @@ class LakeChangesBatchReader(DataSourceReader):
         )
 
     def read(self, partition: _CommitPartition):
-        yield from _read_commit(partition, self.schema)
+        # an empty partitions() list makes Spark call read(None) once —
+        # a version range holding no change-data commits is an empty
+        # DataFrame, not an error
+        if partition is not None:
+            yield from _read_commit(partition, self.schema)

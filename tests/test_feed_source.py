@@ -328,3 +328,26 @@ class TestLineageWindowOverrun:
             assert got == {(f"c{g}", g + 1) for g in range(5)}
         finally:
             q.stop()
+
+
+class TestEmptyRange:
+    def test_batch_read_of_empty_version_range(self, spark, table, registered):
+        """A range holding no change-data commits (startingVersion beyond
+        head, or only maintenance commits) is an empty DataFrame, not an
+        error — Spark calls read(None) when partitions() is empty."""
+        table.merge(_chg(spark, [("a", 0, "x", 1, False)]), batch_id=0)
+        df = (
+            spark.read.format("lake_changes")
+            .option("path", table.path)
+            .option("startingVersion", "5")
+            .load()
+        )
+        assert df.count() == 0 and "_commit_version" in df.columns
+        table.compact()  # v2: maintenance only
+        df2 = (
+            spark.read.format("lake_changes")
+            .option("path", table.path)
+            .option("startingVersion", "2")
+            .load()
+        )
+        assert df2.count() == 0
