@@ -1116,32 +1116,75 @@ class BucketedLakeTable:
         ).partitionBy(
             "_bucket"
         ).parquet(out_dir)
-        files = dict(old_files)
+        new_parts = {}
         for b in targets:
             bdir = os.path.join(out_dir, f"_bucket={b}")
-            files[str(b)] = (
+            new_parts[str(b)] = (
                 [os.path.join(bdir, x) for x in os.listdir(bdir) if x.endswith(".parquet")]
                 if os.path.isdir(bdir)
                 else []
             )
-        m["version"] = version
-        m["files"] = files
-        if self.stats_cols:
-            rewritten = [p for b in targets for p in files[str(b)]]
-            live = {p for fl in files.values() for p in fl}
-            m["file_stats"] = {
-                p: s
-                for p, s in {
-                    **m.get("file_stats", {}),
-                    **self._collect_stats(rewritten, self.stats_cols),
-                }.items()
-                if p in live
-            }
-        m["lineage"] = m.get("lineage", []) + [
-            {"version": version, "compaction": True, "compacted_buckets": targets}
-        ]
-        self._commit(m)
-        return {"version": version, "compacted_buckets": targets}
+        rewritten = [p for fl in new_parts.values() for p in fl]
+        new_stats = (
+            self._collect_stats(rewritten, self.stats_cols)
+            if self.stats_cols
+            else {}
+        )
+        # the files each target bucket held when this compaction PLANNED —
+        # the conflict-detection baseline below
+        planned = {str(b): list(old_files.get(str(b), [])) for b in targets}
+
+        # --- optimistic commit (Delta-style conflict resolution) ----------
+        # Maintenance must not serialize with ingest at 100 TB: losing the
+        # version CAS to a concurrent merge is NOT a conflict unless that
+        # merge touched a bucket this compaction rewrote.  The fold files
+        # are already on disk under a writer-unique dir, so a retry only
+        # re-reads the newest manifest, re-checks the target buckets, and
+        # re-commits — no data rewrite.  A genuine overlap (the merge
+        # appended a delta to a compacted bucket) must fail loud: committing
+        # would drop that delta's newest versions.
+        base = m
+        for _attempt in range(5):
+            conflicts = [
+                b for b in targets
+                if list(base["files"].get(str(b), [])) != planned[str(b)]
+            ]
+            if conflicts:
+                raise ConcurrentWriteError(
+                    f"compaction conflict: bucket(s) {conflicts} changed "
+                    f"since planning (a concurrent merge landed deltas "
+                    f"there) — rerun compact() to fold the new state."
+                )
+            version = base["version"] + 1
+            files = dict(base["files"])
+            files.update(new_parts)
+            manifest = dict(base)
+            manifest["version"] = version
+            manifest["files"] = files
+            if self.stats_cols:
+                live = {p for fl in files.values() for p in fl}
+                manifest["file_stats"] = {
+                    p: s
+                    for p, s in {
+                        **base.get("file_stats", {}),
+                        **new_stats,
+                    }.items()
+                    if p in live
+                }
+            manifest["lineage"] = (
+                base.get("lineage", [])
+                + [{"version": version, "compaction": True,
+                    "compacted_buckets": targets}]
+            )[-self.lineage_keep:]
+            try:
+                self._commit(manifest)
+                return {"version": version, "compacted_buckets": targets}
+            except ConcurrentWriteError:
+                base = self._read_manifest()  # someone else committed: rebase
+        raise ConcurrentWriteError(
+            "compaction lost the commit race 5 times in a row — "
+            "writer contention is pathological; rerun when ingest quiesces."
+        )
 
     def rebucket(self, n_buckets: int) -> dict:
         """Migrate the table to a new bucket count — the operation that

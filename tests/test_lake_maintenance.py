@@ -1109,3 +1109,96 @@ class TestLineageWindowOverrun:
         feed = t.read_changes(from_version=1)
         got = {(r.conv_id, r._commit_version) for r in feed.collect()}
         assert got == {("a", 1), ("a", 2), ("b", 4), ("c", 5)}
+
+
+class TestOptimisticCompaction:
+    """Maintenance must not serialize with ingest: a compaction that loses
+    the version CAS to a concurrent merge re-bases and re-commits its
+    already-written fold files — UNLESS the merge touched a compacted
+    bucket, which must fail loud (committing would drop that delta's
+    newest versions)."""
+
+    def _setup(self, spark, tmp_path):
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        path = str(tmp_path / "t")
+        t = BucketedLakeTable(
+            spark, path, ["conv_id", "turn_idx"], n_buckets=8, auto_fold=False
+        )
+        # find two keys in different buckets via each commit's dirty set
+        t.merge(_mk_changes(spark, [("a", 0, "a1", 1, False)]), batch_id=0)
+        b_a = t.lineage()[-1]["dirty_buckets"][0]
+        other = next(
+            k for k in ("b", "c", "d", "e", "f")
+            if (t.merge(_mk_changes(spark, [(k, 0, "x", 2, False)]), batch_id=k)
+                or t.lineage()[-1]["dirty_buckets"][0]) != b_a
+        )
+        b_other = t.lineage()[-1]["dirty_buckets"][0]
+        # second version for "a" so bucket b_a is multi-file (worth folding)
+        t.merge(_mk_changes(spark, [("a", 0, "a2", 3, False)]), batch_id=9)
+        return path, t, b_a, other, b_other
+
+    def test_unrelated_merge_rebases_and_commits(self, spark, tmp_path):
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        path, t1, b_a, other, _ = self._setup(spark, tmp_path)
+        t2 = BucketedLakeTable(
+            spark, path, ["conv_id", "turn_idx"], n_buckets=8
+        )
+        orig_commit = BucketedLakeTable._commit
+        fired = {}
+
+        def hijacked(self_t, manifest):
+            if self_t is t2 and not fired:
+                fired["x"] = True
+                # concurrent merge to an UNRELATED bucket wins the version
+                t1.merge(
+                    _mk_changes(spark, [(other, 0, "updated", 7, False)]),
+                    batch_id=10,
+                )
+            orig_commit(self_t, manifest)
+
+        t2._commit = hijacked.__get__(t2)
+        rec = t2.compact(buckets=[b_a])
+        assert rec["compacted_buckets"] == [b_a]
+        t3 = BucketedLakeTable(spark, path, ["conv_id", "turn_idx"], n_buckets=8)
+        m = t3.snapshot_manifest()
+        assert len(m["files"][str(b_a)]) == 1  # folded
+        rows = {(r.conv_id): r.text for r in t3.read().collect()}
+        assert rows == {"a": "a2", other: "updated"}  # BOTH effects landed
+
+    def test_conflicting_merge_on_target_bucket_fails_loud(
+        self, spark, tmp_path
+    ):
+        import pytest as _pytest
+
+        from myzql_binlog_connector_spark.plans.lake import (
+            BucketedLakeTable,
+            ConcurrentWriteError,
+        )
+
+        path, t1, b_a, _other, _ = self._setup(spark, tmp_path)
+        t2 = BucketedLakeTable(
+            spark, path, ["conv_id", "turn_idx"], n_buckets=8
+        )
+        orig_commit = BucketedLakeTable._commit
+        fired = {}
+
+        def hijacked(self_t, manifest):
+            if self_t is t2 and not fired:
+                fired["x"] = True
+                # concurrent merge INTO the bucket being compacted
+                t1.merge(
+                    _mk_changes(spark, [("a", 0, "newer", 9, False)]),
+                    batch_id=11,
+                )
+            orig_commit(self_t, manifest)
+
+        t2._commit = hijacked.__get__(t2)
+        with _pytest.raises(ConcurrentWriteError, match="compaction conflict"):
+            t2.compact(buckets=[b_a])
+        # the merge's newer version survives; rerunning compact folds it
+        t3 = BucketedLakeTable(spark, path, ["conv_id", "turn_idx"], n_buckets=8)
+        assert {r.text for r in t3.read(keys={"conv_id": "a", "turn_idx": 0}).collect()} == {"newer"}
+        t3.compact(buckets=[b_a])
+        assert {r.text for r in t3.read(keys={"conv_id": "a", "turn_idx": 0}).collect()} == {"newer"}
