@@ -1258,7 +1258,7 @@ class BucketedLakeTable:
         self.n_buckets = n_buckets
         return record
 
-    def vacuum(self, retain_last: int = 10) -> dict:
+    def vacuum(self, retain_last: int = 10, orphan_grace_s: float = 3600) -> dict:
         """Reclaim storage: delete data files unreachable from the last
         ``retain_last`` committed manifests, then drop the older manifests
         themselves.  This bounds time travel AND the change feed to the
@@ -1266,6 +1266,14 @@ class BucketedLakeTable:
         serves only retained commits' delta files) — the Iceberg
         expire-snapshots analogue.  The live snapshot is never touched:
         the latest manifest is always retained.
+
+        ``orphan_grace_s``: an unreferenced file younger than this is
+        SKIPPED, because "not referenced by any manifest" has two causes —
+        a superseded/CAS-losing file (reclaimable) or an IN-FLIGHT writer's
+        data that simply hasn't committed yet.  Deleting the latter would
+        make the racing commit's manifest point at missing files.  Delta's
+        VACUUM has the same guard (uncommitted-file retention); pass 0 only
+        when no writer can be mid-commit.
 
         Run from the single maintenance writer while no reader is pinned
         to a version being expired (same operational contract as Iceberg
@@ -1276,6 +1284,7 @@ class BucketedLakeTable:
         merge-on-read appends and folds leave superseded delta files on
         disk precisely so time travel/changelog stay cheap; vacuum is
         where their lifetime ends, explicitly and atomically-per-file."""
+        now = time.time()
         versions = self.versions()
         keep = set(versions[-max(1, retain_last):])
         live: set[str] = set()
@@ -1288,13 +1297,19 @@ class BucketedLakeTable:
                 if rec.get("version") in keep and rec.get("delta_files"):
                     live.update(os.path.abspath(p) for p in rec["delta_files"])
         data_root = os.path.join(self.path, "data")
-        removed_files = removed_bytes = 0
+        removed_files = removed_bytes = skipped_in_grace = 0
         for dirpath, _dirs, files in os.walk(data_root):
             for fn in files:
                 p = os.path.join(dirpath, fn)
                 if fn.endswith(".parquet") and os.path.abspath(p) not in live:
-                    removed_bytes += os.path.getsize(p)
-                    os.remove(p)
+                    try:
+                        if now - os.path.getmtime(p) < orphan_grace_s:
+                            skipped_in_grace += 1  # maybe an in-flight commit
+                            continue
+                        removed_bytes += os.path.getsize(p)
+                        os.remove(p)
+                    except FileNotFoundError:
+                        continue  # another vacuum raced us to it
                     removed_files += 1
         for dirpath, _dirs, _files in os.walk(data_root, topdown=False):
             if dirpath != data_root and not os.listdir(dirpath):
@@ -1307,6 +1322,7 @@ class BucketedLakeTable:
         return {
             "removed_files": removed_files,
             "removed_bytes": removed_bytes,
+            "skipped_in_grace": skipped_in_grace,
             "removed_manifests": removed_manifests,
             "retained_versions": sorted(keep),
         }

@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated cluster columns for --compact")
     ap.add_argument("--vacuum", type=int, default=None, metavar="N",
                     help="retain the last N versions")
+    ap.add_argument("--orphan-grace-s", type=float, default=3600,
+                    help="skip unreferenced files younger than this "
+                    "(in-flight-commit guard; 0 only when no writer runs)")
     ap.add_argument("--rebucket", type=int, default=None, metavar="N")
     ap.add_argument("--max-files-per-bucket", type=int, default=8,
                     help="fold threshold for needs_fold()/--compact "
@@ -95,7 +98,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.rebucket:
         out.append({"action": "rebucket", **t.rebucket(args.rebucket)})
     if args.vacuum:
-        out.append({"action": "vacuum", **t.vacuum(retain_last=args.vacuum)})
+        out.append({"action": "vacuum", **t.vacuum(
+            retain_last=args.vacuum, orphan_grace_s=args.orphan_grace_s
+        )})
     for rec in out:
         print(json.dumps(rec))
     return 0

@@ -200,7 +200,7 @@ class TestRetention:
             table.merge(
                 _chg(spark, [(f"c{g}", 0, "x", g + 1, False)]), batch_id=g
             )
-        table.vacuum(retain_last=2)
+        table.vacuum(retain_last=2, orphan_grace_s=0)
         q = _start(spark, table.path, "feed_gap")
         try:
             with pytest.raises(StreamingQueryException) as ei:
@@ -216,7 +216,7 @@ class TestRetention:
             table.merge(
                 _chg(spark, [(f"c{g}", 0, "x", g + 1, False)]), batch_id=g
             )
-        table.vacuum(retain_last=2)
+        table.vacuum(retain_last=2, orphan_grace_s=0)
         q = _start(spark, table.path, "feed_floor", allowGaps="true")
         try:
             q.processAllAvailable()
@@ -262,7 +262,7 @@ class TestBatchReader:
             .load()
         )
         assert {r._commit_version for r in df.collect()} == {2, 3, 4}
-        table.vacuum(retain_last=2)
+        table.vacuum(retain_last=2, orphan_grace_s=0)
         with pytest.raises(Exception) as ei:  # surfaced through the scan plan
             (
                 spark.read.format("lake_changes")

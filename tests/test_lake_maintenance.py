@@ -365,14 +365,14 @@ class TestVacuum:
         table, truth = self._three_commits(spark, tmp_path)
         # merge-on-read keeps every delta file live in the latest manifest
         # until a fold/compaction supersedes it — nothing to reclaim yet
-        assert table.vacuum(retain_last=len(table.versions()))["removed_files"] == 0
+        assert table.vacuum(retain_last=len(table.versions()), orphan_grace_s=0)["removed_files"] == 0
         table.compact()  # rewrites buckets; old delta files leave files{}
         versions = table.versions()
         assert len(versions) == 4
         n_files_before = len(
             glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True)
         )
-        stats = table.vacuum(retain_last=1)
+        stats = table.vacuum(retain_last=1, orphan_grace_s=0)
         assert stats["removed_manifests"] == 3
         assert stats["removed_files"] >= 1
         n_files_after = len(
@@ -389,7 +389,7 @@ class TestVacuum:
 
     def test_vacuum_keeps_retained_change_feed(self, spark, tmp_path):
         table, _ = self._three_commits(spark, tmp_path)
-        stats = table.vacuum(retain_last=2)
+        stats = table.vacuum(retain_last=2, orphan_grace_s=0)
         keep = stats["retained_versions"]
         feed = table.read_changes(from_version=keep[0])
         versions_in_feed = {r._commit_version for r in feed.select("_commit_version").collect()}
@@ -407,7 +407,7 @@ class TestVacuum:
 
         table, truth = self._three_commits(spark, tmp_path)
         table.compact()  # supersedes the delta files in files{}
-        table.vacuum(retain_last=1)  # deletes commits 1-3's delta files
+        table.vacuum(retain_last=1, orphan_grace_s=0)  # deletes commits 1-3's delta files
         floor = min(table.versions())
         with _pytest.raises(RetentionOverrunError, match="precedes the oldest"):
             table.read_changes()  # default from_version=1 < floor
@@ -418,7 +418,7 @@ class TestVacuum:
         and never raises missing-file errors mid-read."""
         table, truth = self._three_commits(spark, tmp_path)
         table.compact()
-        table.vacuum(retain_last=1)
+        table.vacuum(retain_last=1, orphan_grace_s=0)
         floor = min(table.versions())
         rows = table.read_changes(allow_gaps=True).collect()
         assert all(r._commit_version >= floor for r in rows)
@@ -522,7 +522,7 @@ class TestConcurrentWriterGuard:
         assert rows == {("c1", 0): "winner"}
         # and vacuum reclaims the loser's orphaned dir
         t3.merge(_mk_changes(spark, [("c2", 0, "y", 1, False)]), batch_id=2)
-        res = t3.vacuum(retain_last=10)
+        res = t3.vacuum(retain_last=10, orphan_grace_s=0)
         assert res["removed_files"] > 0  # the loser's orphans
         rows = {(r.conv_id, r.turn_idx): r.text for r in t3.read().collect()}
         assert rows == {("c1", 0): "winner", ("c2", 0): "y"}
@@ -686,7 +686,7 @@ class TestChangeFeedConsumerChain:
                                     ("c1", 0, f"a{g}", g, False)]),
                 batch_id=g - 1,
             )
-        primary.vacuum(retain_last=2)
+        primary.vacuum(retain_last=2, orphan_grace_s=0)
         with _pytest.raises(RetentionOverrunError):
             self._sync(primary, replica, nxt)
 
@@ -1202,3 +1202,32 @@ class TestOptimisticCompaction:
         assert {r.text for r in t3.read(keys={"conv_id": "a", "turn_idx": 0}).collect()} == {"newer"}
         t3.compact(buckets=[b_a])
         assert {r.text for r in t3.read(keys={"conv_id": "a", "turn_idx": 0}).collect()} == {"newer"}
+
+
+class TestVacuumOrphanGrace:
+    def test_young_orphans_survive_the_grace_window(self, spark, tmp_path):
+        """'Unreferenced' has two causes: superseded files (reclaimable)
+        and an IN-FLIGHT writer's not-yet-committed data.  vacuum must not
+        delete young orphans — deleting a racing merge's files would make
+        its manifest point at nothing (Delta's uncommitted-file retention
+        guard)."""
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        t = BucketedLakeTable(
+            spark, str(tmp_path / "t"), ["conv_id", "turn_idx"], n_buckets=4
+        )
+        t.merge(_mk_changes(spark, [("a", 0, "x", 1, False)]), batch_id=0)
+        t.merge(_mk_changes(spark, [("a", 0, "x2", 2, False)]), batch_id=1)
+        # v1's superseded delta + simulate an in-flight writer's fresh file
+        inflight = os.path.join(t.path, "data", "v3-deadbeef", "_bucket=0")
+        os.makedirs(inflight)
+        with open(os.path.join(inflight, "part-0.parquet"), "wb") as f:
+            f.write(b"pending")
+        res = t.vacuum(retain_last=1)  # default grace: everything is young
+        assert res["removed_files"] == 0 and res["skipped_in_grace"] >= 1
+        assert os.path.exists(os.path.join(inflight, "part-0.parquet"))
+        # past the grace window the same files ARE reclaimed
+        res = t.vacuum(retain_last=1, orphan_grace_s=0)
+        assert res["removed_files"] >= 1
+        assert not os.path.exists(os.path.join(inflight, "part-0.parquet"))
+        assert {r.text for r in t.read().collect()} == {"x2"}
