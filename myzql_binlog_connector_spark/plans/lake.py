@@ -158,6 +158,42 @@ def iter_commit_deltas(
     return sorted(covered.items())
 
 
+def _zorder_expr(cols: list[str], bounds: dict, bits: int = 16):
+    """Interleaved-bit Z-value over numeric columns — pure Column algebra
+    (shiftleft/bitwise ops, whole-stage-codegen'd), no UDF.
+
+    Each column is normalized to ``bits`` bits against its global
+    [min, max] over the data being rewritten (``bounds``), then the bit
+    planes are interleaved so sorting by the result clusters rows along a
+    space-filling curve: row-group min/max stay tight for EVERY z-ordered
+    column at once, where a linear sort tightens only its leading column
+    (Delta ``OPTIMIZE ZORDER BY``).  NULLs normalize to 0 (sort first —
+    any constant corner of the curve keeps them co-located)."""
+    norms = []
+    for c in cols:
+        lo, hi = bounds[c]
+        rng = float(hi - lo) or 1.0
+        scaled = (
+            (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(rng)
+        ) * F.lit(float((1 << bits) - 1))
+        norms.append(
+            F.coalesce(
+                F.least(
+                    F.lit((1 << bits) - 1),
+                    F.greatest(F.lit(0), scaled.cast("long")),
+                ),
+                F.lit(0),
+            )
+        )
+    z = F.lit(0)
+    n = len(cols)
+    for b in range(bits):
+        for i, norm in enumerate(norms):
+            bit = F.shiftright(norm, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
 class RetentionOverrunError(ValueError):
     """A change-feed consumer asked for versions that vacuum has expired —
     resuming would silently gap the feed (Delta CDF / Iceberg changelog
@@ -1042,6 +1078,7 @@ class BucketedLakeTable:
         buckets: list[int] | None = None,
         small_file_bytes: int = 32 * 1024 * 1024,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> dict:
         """Incremental compaction: fold multi-file buckets and bin-pack
         small files, rewriting ONLY the selected buckets (others are carried
@@ -1062,7 +1099,15 @@ class BucketedLakeTable:
         (linear order: right for one range column such as ``ts``).
         Defaults to ``stats_cols`` when set — a table that records
         range-pruning stats wants its folded files clustered the same
-        way; pass ``[]`` to disable."""
+        way; pass ``[]`` to disable.
+
+        ``zorder_by``: cluster by an interleaved-bit Z-value over these
+        NUMERIC columns instead (Delta ``OPTIMIZE ZORDER BY``): a linear
+        sort tightens row-group stats only for its leading column, a
+        Z-order keeps them tight for every listed column at once — right
+        when reads range-filter on more than one dimension.  Mutually
+        exclusive with ``sort_by``; global [min, max] per column is one
+        aggregate over the rewritten buckets."""
         m = self._read_manifest()
         self._sync_layout(m)
         schema = StructType.fromJson(json.loads(m["schema"]))
@@ -1102,15 +1147,46 @@ class BucketedLakeTable:
         out_dir = os.path.join(
             self.path, "data", f"v{version}-{uuid.uuid4().hex[:8]}"
         )
+        if zorder_by:
+            if sort_by:
+                raise ValueError("pass sort_by or zorder_by, not both")
+            for c in zorder_by:
+                t_ = schema[c].dataType.simpleString()
+                if not (
+                    t_ in ("tinyint", "smallint", "int", "bigint",
+                           "float", "double")
+                    or t_.startswith("decimal")
+                ):
+                    raise ValueError(
+                        f"zorder_by column {c!r} has type {t_} — Z-order "
+                        f"needs a numeric column (cast temporals to epoch "
+                        f"numbers at ingest; a string would silently "
+                        f"normalize to a constant)"
+                    )
+            # one aggregate over the data being rewritten for the global
+            # bounds the normalization needs (driver gets 2 scalars/col)
+            agg_row = df.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"hi_{c}") for c in zorder_by],
+            ).collect()[0]
+            bounds = {
+                c: (agg_row[f"lo_{c}"] or 0, agg_row[f"hi_{c}"] or 0)
+                for c in zorder_by
+            }
+            df = df.withColumn("_z", _zorder_expr(zorder_by, bounds))
         out = df.repartition(len(targets), "_bucket")
-        if sort_by is None:
-            sort_by = self.stats_cols or []
-        if sort_by:
-            # lead with _bucket: the partitionBy write needs partition-col
-            # order and would otherwise insert its own sort (by _bucket
-            # alone, not stable) on any task holding >1 bucket, destroying
-            # the clustering this exists to create
-            out = out.sortWithinPartitions("_bucket", *sort_by)
+        if zorder_by:
+            out = out.sortWithinPartitions("_bucket", "_z").drop("_z")
+        else:
+            if sort_by is None:
+                sort_by = self.stats_cols or []
+            if sort_by:
+                # lead with _bucket: the partitionBy write needs
+                # partition-col order and would otherwise insert its own
+                # sort (by _bucket alone, not stable) on any task holding
+                # >1 bucket, destroying the clustering this exists to
+                # create
+                out = out.sortWithinPartitions("_bucket", *sort_by)
         out.write.mode("overwrite").option(
             "compression", self.codec
         ).partitionBy(

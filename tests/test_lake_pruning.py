@@ -289,3 +289,80 @@ class TestRangeSkipping:
             keys={"conv_id": "c15", "turn_idx": 0}, ranges={"ts": (0, 10)}
         )
         assert miss.count() == 0
+
+
+class TestZOrderCompaction:
+    """compact(zorder_by=[x, y]) clusters along a space-filling curve:
+    row-groups stay tight for BOTH columns (a linear sort tightens only
+    its leading column), results are unchanged, and non-numeric columns
+    fail loud."""
+
+    def _mk(self, spark, tmp_path, name):
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        t = BucketedLakeTable(
+            spark, str(tmp_path / name), ["conv_id", "turn_idx"], n_buckets=1,
+        )
+        # x sweeps rows, y deliberately anti-correlated with x so a linear
+        # sort by x leaves y's spread at full range everywhere
+        rows = [
+            (f"k{i}", 0, f"v{i}", i, (997 * i) % 256, 1, False)
+            for i in range(256)
+        ]
+        df = spark.createDataFrame(
+            [(c, t_, x, xv, yv, bool(d) and False, g, g, 1)
+             for (c, t_, x, xv, yv, g, d) in rows],
+            "conv_id string, turn_idx bigint, text string, x bigint, "
+            "y bigint, _deleted boolean, _gtid bigint, _event_seq bigint, "
+            "_event_row_index bigint",
+        )
+        t.merge(df, batch_id=0)
+        return t
+
+    @staticmethod
+    def _z(x, y, bits=8):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    def test_zorder_clusters_and_stays_exact(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+
+        t = self._mk(spark, tmp_path, "z")
+        before = {(r.conv_id, r.x, r.y) for r in t.read().collect()}
+        t.compact(zorder_by=["x", "y"], buckets=[0])
+        assert {(r.conv_id, r.x, r.y) for r in t.read().collect()} == before
+        m = t.snapshot_manifest()
+        [path] = [p for fl in m["files"].values() for p in fl]
+        tb = pq.read_table(path, columns=["x", "y"])
+        xs, ys = tb["x"].to_pylist(), tb["y"].to_pylist()
+        assert "_z" not in pq.read_schema(path).names  # helper col dropped
+        # rows follow the z-curve: x,y bounds normalize to 8 bits here
+        # (0..255 ranges), so the file order must be z-nondecreasing
+        zs = [self._z(x, y) for x, y in zip(xs, ys)]
+        assert zs == sorted(zs)
+        # tightness for BOTH columns: split the file's row order into 16
+        # equal chunks (stand-ins for row groups) — mean per-chunk spread
+        # must be far below the global range on x AND y; a linear sort by
+        # x only achieves that for x
+        def mean_spread(vals):
+            n = len(vals) // 16
+            return sum(
+                max(vals[i:i + n]) - min(vals[i:i + n])
+                for i in range(0, n * 16, n)
+            ) / 16
+        assert mean_spread(xs) < 256 * 0.5 and mean_spread(ys) < 256 * 0.5
+        t2 = self._mk(spark, tmp_path, "lin")
+        t2.compact(sort_by=["x"], buckets=[0])
+        m2 = t2.snapshot_manifest()
+        [p2] = [p for fl in m2["files"].values() for p in fl]
+        tb2 = pq.read_table(p2, columns=["y"])
+        assert mean_spread(tb2["y"].to_pylist()) > 256 * 0.7  # the contrast
+
+    def test_zorder_rejects_strings_and_sortby_combo(self, spark, tmp_path):
+        t = self._mk(spark, tmp_path, "zbad")
+        with pytest.raises(ValueError, match="numeric"):
+            t.compact(zorder_by=["text"], buckets=[0])
+        with pytest.raises(ValueError, match="not both"):
+            t.compact(zorder_by=["x"], sort_by=["y"], buckets=[0])
