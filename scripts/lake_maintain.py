@@ -9,6 +9,7 @@ somebody's scheduled job, not part of a merge.  This is that job:
         [--status]                 # needs_fold + manifest summary, no writes
         [--compact]                # fold needs_fold() buckets (or --all-buckets)
         [--sort-by ts]             # cluster rewritten buckets (row-group skipping)
+        [--zorder-by x,y]          # or Z-curve cluster for multi-column skipping
         [--vacuum N]               # retain last N versions, reclaim the rest
         [--rebucket N]             # migrate bucket count (one full rewrite)
         [--master local[*]]
@@ -40,6 +41,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="compact every bucket, not just needs_fold()")
     ap.add_argument("--sort-by", default=None,
                     help="comma-separated cluster columns for --compact")
+    ap.add_argument("--zorder-by", default=None,
+                    help="comma-separated NUMERIC columns: cluster --compact "
+                    "rewrites along a Z-curve (multi-column data skipping)")
     ap.add_argument("--vacuum", type=int, default=None, metavar="N",
                     help="retain the last N versions")
     ap.add_argument("--orphan-grace-s", type=float, default=3600,
@@ -93,6 +97,7 @@ def main(argv: list[str] | None = None) -> int:
             rec = t.compact(
                 buckets=buckets,
                 sort_by=args.sort_by.split(",") if args.sort_by else None,
+                zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
             )
             out.append({"action": "compact", **rec})
     if args.rebucket:
