@@ -366,3 +366,72 @@ class TestZOrderCompaction:
             t.compact(zorder_by=["text"], buckets=[0])
         with pytest.raises(ValueError, match="not both"):
             t.compact(zorder_by=["x"], sort_by=["y"], buckets=[0])
+
+
+class TestPruningInvariantSweep:
+    """The module's header invariant, made executable: over randomized
+    (seed-fixed) op sequences — inserts, updates, deletes, folds,
+    compactions — a pruned read equals the same filter over the full
+    read, for random key sets and random ranges."""
+
+    def test_random_histories_pruned_equals_filtered(self, spark, tmp_path):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        rng = random.Random(20260817)
+        for case in range(4):
+            t = BucketedLakeTable(
+                spark, str(tmp_path / f"t{case}"), ["conv_id", "turn_idx"],
+                n_buckets=rng.choice([4, 8]),
+                max_files_per_bucket=rng.choice([2, 4]),
+                stats_cols=["ts"],
+            )
+            live: dict = {}
+            gtid = 0
+            for batch in range(rng.randint(2, 4)):
+                rows = []
+                for _ in range(rng.randint(5, 25)):
+                    gtid += 1
+                    k = (f"c{rng.randint(0, 15)}", rng.randint(0, 1))
+                    if live and rng.random() < 0.2:  # delete something live
+                        k = rng.choice(list(live))
+                        rows.append((k[0], k[1], None, 0, gtid, True))
+                        live.pop(k, None)
+                    else:
+                        ts = rng.choice([rng.randint(0, 99),
+                                         rng.randint(10_000, 10_099)])
+                        rows.append((k[0], k[1], f"v{gtid}", ts, gtid, False))
+                        live[k] = (f"v{gtid}", ts)
+                t.merge(_mk_changes(spark, rows), batch_id=batch)
+                if rng.random() < 0.4:
+                    t.compact()
+            # ground truth from the python model
+            assert _rows(t.read()) == {
+                (c, ti, v, ts) for (c, ti), (v, ts) in live.items()
+            }
+            # random ranges: pruned == full-filtered
+            for _ in range(3):
+                lo = rng.choice([None, rng.randint(0, 120)])
+                hi = rng.choice([None, rng.randint(50, 11_000)])
+                if lo is not None and hi is not None and lo > hi:
+                    lo, hi = hi, lo
+                pruned = _rows(t.read(ranges={"ts": (lo, hi)}))
+                want = {
+                    r for r in _rows(t.read())
+                    if (lo is None or r[3] >= lo) and (hi is None or r[3] <= hi)
+                }
+                assert pruned == want, (case, lo, hi)
+            # random key sets (mix of live, deleted, absent)
+            probe = [
+                {"conv_id": f"c{rng.randint(0, 18)}", "turn_idx": rng.randint(0, 2)}
+                for _ in range(rng.randint(1, 6))
+            ]
+            got = _rows(t.read(keys=probe))
+            want = {
+                (c, ti, v, ts) for (c, ti), (v, ts) in live.items()
+                if any(p["conv_id"] == c and p["turn_idx"] == ti for p in probe)
+            }
+            assert got == want, (case, probe)
