@@ -38,9 +38,11 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf, pandas_udf
 
 #: embedding dimensionality of the testdata corpus; callers with other
 #: shapes pass ``dims=...`` explicitly.
@@ -116,8 +118,50 @@ def cosine(a: Column, b: Column, dims: int = DEFAULT_DIMS) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def _mat_arrow(x, dims: int):
+    """(n, dims) float64 matrix straight from an Arrow list array —
+    the hot-path form (used by every ``arrow_udf`` below).
+
+    The exact raggedness gate here is ONE vectorized kernel over the list
+    offsets (``pc.list_value_length`` == ``np.diff(offsets)``), not a
+    per-row Python ``len`` loop: the round-6 gate in :func:`_mat` cost
+    ~2n interpreter calls per batch on the near-dup verify path
+    (1.79s → 5.01s on ``embedding_near_dup``; round-6 verdict item #1).
+    With lengths proven uniform and null-free, ``flatten()`` hands back
+    the child values buffer (zero-copy, slice-aware) and the matrix is a
+    single reshape + one astype pass."""
+    if isinstance(x, pa.ChunkedArray):
+        x = x.combine_chunks()
+    n = len(x)
+    if not n:
+        return np.empty((0, dims), dtype=np.float64)
+    if x.null_count:
+        raise ValueError(
+            f"null embedding rows: {x.null_count} of {n} list values are null"
+        )
+    lens = pc.list_value_length(x).to_numpy()
+    if not (lens == dims).all():
+        bad = np.unique(lens[lens != dims])[:5]
+        raise ValueError(
+            f"ragged embedding column: expected uniform length {dims}, "
+            f"found rows of length {bad.tolist()}"
+        )
+    flat = x.flatten()
+    if flat.null_count:
+        raise ValueError(
+            f"null embedding elements: {flat.null_count} of {len(flat)}"
+        )
+    return (
+        flat.to_numpy(zero_copy_only=True)
+        .reshape(n, dims)
+        .astype(np.float64, copy=False)
+    )
+
+
 def _mat(s, dims: int):
-    """(n, dims) float64 matrix from a pandas Series of per-row vectors.
+    """(n, dims) float64 matrix from a pandas Series of per-row vectors —
+    the non-Arrow FALLBACK form (``mapInPandas`` call sites; the scalar
+    UDF hot paths use :func:`_mat_arrow` on the Arrow array directly).
 
     Arrow hands a list<float> column to pandas as n ndarray VIEWS over one
     shared values buffer; when that layout holds (no nulls, uniform length
@@ -135,11 +179,9 @@ def _mat(s, dims: int):
     # Exact raggedness gate (round-6 ADVICE): pointer anchors alone can be
     # fooled by compensating row lengths (63 then 65 realigns by the next
     # anchor), and a ragged column whose total length happens to equal
-    # n*dims would reshape silently in the fallback.  One C-speed pass over
-    # ``len`` closes both holes; with lengths proven uniform, Arrow's
-    # monotonic list offsets mean the anchor checks below can no longer be
-    # spoofed (gaps are non-negative, and the n-1 anchor pins their sum to
-    # zero).
+    # n*dims would reshape silently in the fallback.  The per-row ``len``
+    # pass is interpreter-speed and acceptable ONLY here on the fallback
+    # path; hot paths validate via Arrow list offsets in ``_mat_arrow``.
     lens = np.fromiter(map(len, v), dtype=np.int64, count=n)
     if not (lens == dims).all():
         bad = np.unique(lens[lens != dims])[:5]
@@ -187,18 +229,25 @@ def _seq_rowdot(A, B):
 
 
 def dot_arrow(a: Column, b: Column, dims: int = DEFAULT_DIMS) -> Column:
-    @pandas_udf("double")
-    def f(x: pd.Series, y: pd.Series) -> pd.Series:
-        return pd.Series(_seq_rowdot(_mat(x, dims), _mat(y, dims)))
+    """Row-wise dot as an ``arrow_udf``: the ListArray arrives zero-copy,
+    :func:`_mat_arrow` validates via offsets (no per-row Python), and the
+    fold order matches :func:`dot` / the DuckDB oracle bit-for-bit."""
+
+    @arrow_udf("double")
+    def f(x: pa.Array, y: pa.Array) -> pa.Array:
+        return pa.array(
+            _seq_rowdot(_mat_arrow(x, dims), _mat_arrow(y, dims)),
+            type=pa.float64(),
+        )
 
     return f(a, b)
 
 
 def norm_arrow(a: Column, dims: int = DEFAULT_DIMS) -> Column:
-    @pandas_udf("double")
-    def f(x: pd.Series) -> pd.Series:
-        A = _mat(x, dims)
-        return pd.Series(np.sqrt(_seq_rowdot(A, A)))
+    @arrow_udf("double")
+    def f(x: pa.Array) -> pa.Array:
+        A = _mat_arrow(x, dims)
+        return pa.array(np.sqrt(_seq_rowdot(A, A)), type=pa.float64())
 
     return f(a)
 
@@ -619,15 +668,15 @@ def lsh_bucket_arrow(vec_col: Column, dims: int, n_planes: int = 16) -> Column:
     order with ±1.0 multiplies — bit-identical to the codegen/SQL fold."""
     signs = [plane_signs(j, dims) for j in range(n_planes)]
 
-    @pandas_udf("long")
-    def f(v: pd.Series) -> pd.Series:
+    @arrow_udf("long")
+    def f(v: pa.Array) -> pa.Array:
         S = np.array(signs, dtype=np.float64)  # (planes, dims)
-        V = _mat(v, dims)
+        V = _mat_arrow(v, dims)
         proj = np.zeros((V.shape[0], n_planes), dtype=np.float64)
         for j in range(dims):  # in-order fold, SIMD over (batch, planes)
             proj = proj + V[:, j, None] * S[None, :, j]
         bits = (proj >= 0).astype(np.int64) << np.arange(n_planes, dtype=np.int64)
-        return pd.Series(bits.sum(axis=1))
+        return pa.array(bits.sum(axis=1), type=pa.int64())
 
     return f(vec_col)
 

@@ -3,6 +3,7 @@ text analysis, multimodal plumbing)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from pyspark.sql import functions as F
@@ -199,6 +200,119 @@ class TestSimilarity:
         b2 = df.select(lsh_bucket(F.col("e"), 8, 8).alias("b")).collect()[0].b
         assert b1 == b2
         assert 0 <= b1 < 256
+
+    def test_arrow_matches_codegen_bit_identical(self, spark):
+        """dot_arrow/norm_arrow (arrow_udf) vs the unrolled codegen fold —
+        same association order, so results must be EQUAL, not just close."""
+        from myzql_binlog_connector_spark.operators.similarity import (
+            dot, dot_arrow, norm, norm_arrow,
+        )
+
+        rows = [
+            ([(i * 7 + j) % 13 - 6.5 for j in range(16)],
+             [(i * 5 + j) % 11 - 5.25 for j in range(16)])
+            for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "a array<float>, b array<float>")
+        got = df.select(
+            dot(F.col("a"), F.col("b"), 16).alias("cg_dot"),
+            dot_arrow(F.col("a"), F.col("b"), 16).alias("ar_dot"),
+            norm(F.col("a"), 16).alias("cg_nrm"),
+            norm_arrow(F.col("a"), 16).alias("ar_nrm"),
+        ).collect()
+        for r in got:
+            assert r.cg_dot == r.ar_dot, (r.cg_dot, r.ar_dot)
+            assert r.cg_nrm == r.ar_nrm
+
+
+class TestMatGates:
+    """The exact raggedness gate, in both forms: `_mat_arrow` (hot path,
+    vectorized over Arrow list offsets — round-6 verdict #1 replaced the
+    per-row `len` loop) and `_mat` (pandas fallback, per-row)."""
+
+    def _ragged(self):
+        import pyarrow as pa
+        return pa.array(
+            [[1.0, 2.0, 3.0], [4.0, 5.0], [6.0, 7.0, 8.0]],
+            type=pa.list_(pa.float32()),
+        )
+
+    def test_mat_arrow_happy(self):
+        import pyarrow as pa
+        from myzql_binlog_connector_spark.operators.similarity import _mat_arrow
+
+        a = pa.array([[1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float32()))
+        M = _mat_arrow(a, 2)
+        assert M.dtype == np.float64 and M.shape == (2, 2)
+        assert M.tolist() == [[1.0, 2.0], [3.0, 4.0]]
+
+    def test_mat_arrow_sliced_and_chunked(self):
+        import pyarrow as pa
+        from myzql_binlog_connector_spark.operators.similarity import _mat_arrow
+
+        a = pa.array(
+            [[float(3 * i + j) for j in range(3)] for i in range(6)],
+            type=pa.list_(pa.float32()),
+        )
+        s = a.slice(2, 3)  # offsets no longer start at 0
+        assert _mat_arrow(s, 3).tolist() == [
+            [6.0, 7.0, 8.0], [9.0, 10.0, 11.0], [12.0, 13.0, 14.0]
+        ]
+        ch = pa.chunked_array([a.slice(0, 2), a.slice(2, 2)])
+        assert _mat_arrow(ch, 3).shape == (4, 3)
+
+    def test_mat_arrow_rejects_ragged(self):
+        import pytest
+        from myzql_binlog_connector_spark.operators.similarity import _mat_arrow
+
+        with pytest.raises(ValueError, match="ragged embedding column"):
+            _mat_arrow(self._ragged(), 3)
+        # compensating lengths whose total happens to equal n*dims must
+        # still be rejected (the hole the exact gate exists to close)
+        import pyarrow as pa
+        comp = pa.array(
+            [[1.0, 2.0], [3.0, 4.0, 5.0, 6.0], [7.0, 8.0, 9.0]],
+            type=pa.list_(pa.float32()),
+        )
+        with pytest.raises(ValueError, match="ragged embedding column"):
+            _mat_arrow(comp, 3)
+
+    def test_mat_arrow_rejects_nulls(self):
+        import pyarrow as pa
+        import pytest
+        from myzql_binlog_connector_spark.operators.similarity import _mat_arrow
+
+        with pytest.raises(ValueError, match="null embedding rows"):
+            _mat_arrow(
+                pa.array([[1.0, 2.0], None], type=pa.list_(pa.float32())), 2
+            )
+        with pytest.raises(ValueError, match="null embedding elements"):
+            _mat_arrow(
+                pa.array([[1.0, None], [3.0, 4.0]], type=pa.list_(pa.float32())), 2
+            )
+
+    def test_mat_pandas_rejects_ragged(self):
+        import pandas as pd
+        import pytest
+        from myzql_binlog_connector_spark.operators.similarity import _mat
+
+        s = pd.Series([np.array([1.0, 2.0]), np.array([3.0])], dtype=object)
+        with pytest.raises(ValueError, match="ragged embedding column"):
+            _mat(s, 2)
+
+    def test_dot_arrow_rejects_ragged_end_to_end(self, spark):
+        import pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors.exceptions.base import PySparkException
+        from myzql_binlog_connector_spark.operators.similarity import dot_arrow
+
+        df = spark.createDataFrame(
+            [([1.0, 2.0, 3.0], [1.0, 2.0, 3.0]), ([1.0, 2.0], [1.0, 2.0, 3.0])],
+            "a array<float>, b array<float>",
+        )
+        with pytest.raises((Py4JJavaError, PySparkException)) as ei:
+            df.select(dot_arrow(F.col("a"), F.col("b"), 3).alias("d")).collect()
+        assert "ragged embedding column" in str(ei.value)
 
 
 class TestMultimodal:
