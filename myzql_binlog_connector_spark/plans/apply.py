@@ -412,9 +412,36 @@ class TranscriptsApplier:
                 stop_position=stop_position,
                 on_error="quarantine" if on_error == "quarantine" else "raise",
             )
-            rec = self.apply_envelope_subset(env, batch_id, descs)
-            rec["narrowed_route"] = True
-            return rec
+            if on_error != "quarantine":
+                rec = self.apply_envelope_subset(env, batch_id, descs)
+                rec["narrowed_route"] = True
+                return rec
+            # quarantine parity on the narrowed route (round-6 ADVICE):
+            # typed_changes silently filters dml_type='_corrupt', so dead
+            # letters must be split off and sunk HERE — same DLQ dir and
+            # column shape as the typed path below, so triage tooling
+            # reads one schema regardless of which route a batch took
+            env = env.persist()
+            try:
+                dead = env.filter(F.col("dml_type") == "_corrupt").select(
+                    F.col("file_seq").alias("_file_seq"),
+                    F.col("gtid").alias("_gtid"),
+                    F.col("event_seq").alias("_event_seq"),
+                    F.col("log_pos").alias("_log_pos"),
+                    F.col("after_values").alias("_corrupt"),
+                )
+                n_dead = dead.count()
+                if n_dead:
+                    dlq_dir = os.path.join(
+                        self.table.path, "_quarantine", f"batch-{batch_id}"
+                    )
+                    dead.coalesce(1).write.mode("overwrite").parquet(dlq_dir)
+                rec = self.apply_envelope_subset(env, batch_id, descs)
+                rec["quarantined_rows"] = n_dead
+                rec["narrowed_route"] = True
+                return rec
+            finally:
+                env.unpersist()
         struct = payload_struct_from_descs(descs)
         names = [self._name_for(i) for i in range(len(struct.fields))]
         kinds = _payload_kinds(descs)

@@ -66,6 +66,18 @@ from ..plans.lake import (
 COMMIT_VERSION_COL = "_commit_version"
 
 
+class FeedSchemaChangedError(RuntimeError):
+    """A commit in the planned range carries columns the running query's
+    pinned schema lacks (ADD COLUMN landed after the query started).
+
+    Structured Streaming pins a source's schema at query start; silently
+    projecting newer commits down to it would DROP the added column's
+    values from the feed and let a long-running replica diverge from its
+    primary without any signal (Delta CDF fails loud here too).  Restart
+    the query — schema re-resolves from the head manifest on start, and
+    offsets resume from the checkpoint, so no change data is lost."""
+
+
 def _mdir(path: str) -> str:
     return os.path.join(path, MANIFEST_DIR)
 
@@ -120,6 +132,7 @@ def _plan_commits(
     e: int,
     allow_gaps: bool,
     chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    query_schema: StructType | None = None,
 ) -> "list[_CommitPartition]":
     """Size-budgeted partitions over the delta files of each change-data
     commit in versions (s, e] — shared by the streaming and batch readers.
@@ -151,6 +164,29 @@ def _plan_commits(
         s = oldest - 1
     with open(_manifest_path(path, e)) as f:
         m = json.load(f)
+    if query_schema is not None:
+        # Schema-evolution gate (round-6 ADVICE): lake schema evolution is
+        # strictly additive (add/widen; narrowing fails loud at merge), so
+        # the END manifest's schema is a superset of every schema in
+        # (s, e] — one name comparison against the already-loaded manifest
+        # detects any ADD COLUMN in the range with zero extra IO.  Widened
+        # types need no gate: _read_commit casts with pyarrow's safe cast,
+        # which raises on overflow rather than truncating.
+        pinned = {f_.name for f_ in query_schema.fields}
+        added = [
+            f_["name"]
+            for f_ in json.loads(m["schema"])["fields"]
+            if f_["name"] not in pinned
+        ]
+        if added:
+            raise FeedSchemaChangedError(
+                f"table schema evolved under the running feed: commit(s) "
+                f"<= v{e} added column(s) {added} that the query's pinned "
+                f"schema lacks.  Restart the streaming query (schema "
+                f"re-resolves on start; offsets resume from checkpoint) — "
+                f"projecting down would silently drop the new column's "
+                f"values from the change feed."
+            )
     # shared with read_changes: covers the head manifest's lineage window
     # AND — for a consumer further behind than the window — the older
     # retained versions via their own manifests; skips compaction/
@@ -320,7 +356,8 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         # checkpoint restart this replay runs before any latestOffset
         self._last_end = max(self._last_end or 0, s, e)
         return _plan_commits(
-            self.path, s, e, self.allow_gaps, chunk_bytes=self.chunk_bytes
+            self.path, s, e, self.allow_gaps, chunk_bytes=self.chunk_bytes,
+            query_schema=self.schema,
         )
 
     # ---- reading (executors, Arrow-native) ------------------------------
@@ -354,9 +391,13 @@ class LakeChangesBatchReader(DataSourceReader):
 
     def partitions(self):
         end = self.ending if self.ending is not None else _head_version(self.path)
+        # same gate as the stream: a batch read pins its schema at load()
+        # time, so an endingVersion past an ADD COLUMN (or a commit racing
+        # between schema resolution and planning) must fail loud, not
+        # project the new column away
         return _plan_commits(
             self.path, self.starting - 1, end, self.allow_gaps,
-            chunk_bytes=self.chunk_bytes,
+            chunk_bytes=self.chunk_bytes, query_schema=self.schema,
         )
 
     def read(self, partition: _CommitPartition):

@@ -67,7 +67,17 @@ def replicate(
     ``bootstrap_from``: pass the SOURCE table handle on first run to seed
     the target from a pinned snapshot; on checkpoint resume leave it None
     (the checkpoint already holds the feed position, and re-seeding would
-    just re-upsert rows LWW already resolved)."""
+    just re-upsert rows LWW already resolved).
+
+    **Schema evolution**: the feed pins the source schema when the query
+    starts.  If the primary ADDs a column while the replica is following,
+    the query STOPS with ``FeedSchemaChangedError`` rather than silently
+    dropping the new column's values (the divergence would otherwise be
+    permanent and invisible).  Recovery is one call: re-run ``replicate``
+    with the same ``checkpoint`` and ``bootstrap_from=None`` — the
+    restarted query re-resolves the evolved schema from the head manifest
+    and resumes from the checkpointed feed position, so no change data is
+    lost and rows already merged re-merge idempotently (LWW)."""
     start_after = 0
     if bootstrap_from is not None:
         start_after = bootstrap(bootstrap_from, target)

@@ -303,6 +303,71 @@ class TestSchemaEvolution:
         finally:
             q.stop()
 
+    def test_add_column_mid_stream_fails_loud(self, spark, table, registered):
+        """ADD COLUMN landing AFTER the query pinned its schema must stop
+        the stream (FeedSchemaChangedError through the planner), never
+        project the new column's values away — a silently-diverging
+        replica is the failure mode this gate exists for (round-6 ADVICE;
+        Delta CDF fails loud here too)."""
+        from pyspark.errors.exceptions.base import PySparkException
+        from pyspark.sql import functions as F
+
+        table.merge(_chg(spark, [("a", 0, "x", 1, False)]), batch_id=0)
+        q = _start(spark, table.path, "feed_evo_loud")
+        try:
+            q.processAllAvailable()  # pins the pre-evolution schema
+            evolved = _chg(spark, [("b", 0, "y", 2, False)]).withColumn(
+                "lang", F.lit("en")
+            )
+            table.merge(evolved, batch_id=1)
+            with pytest.raises(
+                (PySparkException, Exception), match="schema evolved"
+            ):
+                q.processAllAvailable()
+                # some engines surface planner errors via awaitTermination
+                q.awaitTermination(30)
+        finally:
+            q.stop()
+        # restart re-resolves schema from the head manifest: the SAME
+        # checkpoint-free restart here re-reads everything and carries
+        # the added column — no change data was lost to the stop
+        q2 = _start(spark, table.path, "feed_evo_loud2")
+        try:
+            q2.processAllAvailable()
+            rows = {
+                (r.conv_id, r.lang, r._commit_version)
+                for r in spark.sql("select * from feed_evo_loud2").collect()
+            }
+            assert rows == {("a", None, 1), ("b", "en", 2)}
+        finally:
+            q2.stop()
+
+    def test_batch_read_past_add_column_fails_loud(
+        self, spark, table, registered
+    ):
+        """The one-shot reader shares the gate: endingVersion past an ADD
+        COLUMN with a stale pinned schema must raise, not null-project."""
+        from myzql_binlog_connector_spark.streaming.feed import (
+            FeedSchemaChangedError, LakeChangesBatchReader,
+        )
+
+        table.merge(_chg(spark, [("a", 0, "x", 1, False)]), batch_id=0)
+        stale = (
+            spark.read.format("lake_changes")
+            .option("path", table.path)
+            .load()
+            .schema
+        )
+        from pyspark.sql import functions as F
+
+        evolved = _chg(spark, [("b", 0, "y", 2, False)]).withColumn(
+            "lang", F.lit("en")
+        )
+        table.merge(evolved, batch_id=1)
+        rdr = LakeChangesBatchReader({"path": table.path}, stale)
+        with pytest.raises(FeedSchemaChangedError, match="lang"):
+            rdr.partitions()
+
 
 class TestLineageWindowOverrun:
     def test_stream_serves_versions_below_lineage_window(

@@ -153,6 +153,48 @@ class TestReplicate:
         finally:
             q.stop()
 
+    def test_add_column_mid_follow_stops_then_restart_recovers(
+        self, spark, tmp_path
+    ):
+        """Primary ADDs a column while the replica is following: the feed
+        fails loud (FeedSchemaChangedError — never a silent projection
+        that would diverge the replica), and one re-run of ``replicate``
+        with the same checkpoint resumes with the evolved schema and
+        catches the replica up, new column included."""
+        from pyspark.sql import functions as F
+
+        from myzql_binlog_connector_spark.streaming.replica import replicate
+
+        src = _mk_table(spark, str(tmp_path / "src"))
+        dst = _mk_table(spark, str(tmp_path / "dst"))
+        ckpt = str(tmp_path / "ckpt")
+        src.merge(_chg(spark, [("a", 0, "x", 1, False)]), batch_id=0)
+        q = replicate(spark, src.path, dst, ckpt, bootstrap_from=src)
+        try:
+            q.processAllAvailable()  # schema now pinned pre-evolution
+            src.merge(
+                _chg(spark, [("b", 0, "y", 2, False)]).withColumn(
+                    "lang", F.lit("en")
+                ),
+                batch_id=1,
+            )
+            with pytest.raises(Exception, match="schema evolved"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        # documented recovery: same checkpoint, no re-bootstrap
+        q2 = replicate(spark, src.path, dst, ckpt)
+        try:
+            q2.processAllAvailable()
+            got = {
+                (r.conv_id, r.lang)
+                for r in dst.read().select("conv_id", "lang").collect()
+            }
+            assert got == {("a", None), ("b", "en")}
+            assert _state(dst) == _state(src)
+        finally:
+            q2.stop()
+
 
 class TestMultiTableReplication:
     def test_each_fanout_table_replicates_independently(self, spark, tmp_path):

@@ -47,9 +47,11 @@ TS0 = 1_700_000_000_000_000
 SURVIVORS = ["conv_id", "turn_idx", "role", "text", "ts"]
 
 
-def _dropped_stream(tmp_path):
+def _dropped_stream(tmp_path, corrupt_last_rows_event=False):
     """One segment: two rows under the full 6-col map, then the column
-    drop, then an insert / update / delete under the 5-col map."""
+    drop, then an insert / update / delete under the 5-col map.  With
+    ``corrupt_last_rows_event``, one extra post-drop insert is appended
+    and its packet truncated mid-body (undecodable → quarantine food)."""
     w = EventWriter()
     w.format_description()
     w.table_map(5, TRANSCRIPTS_SCHEMA)
@@ -73,6 +75,10 @@ def _dropped_stream(tmp_path):
         )],
     )
     w.delete_rows(5, NARROW, [("c2", 0, "user", "hey", TS0 + 1_000_000)])
+    if corrupt_last_rows_event:
+        w.write_rows(5, NARROW, [("c9", 9, "user", "doomed", TS0 + 4_000_000)])
+        off, pkt = w.events[-1]
+        w.events[-1] = (off, pkt[: len(pkt) // 2])
     w.rotate("binlog.000002")
     stream = GeneratedStream(
         segments=[(1, [(off, i, i, pkt) for i, (off, pkt) in enumerate(w.events)])]
@@ -226,3 +232,49 @@ class TestNarrowedDecode:
         got = _state(table)
         assert got[("a", 0)] == ("user", "x", "calc", True)
         assert got[("a", 1)] == ("assistant", "y", None, True)
+
+
+class TestNarrowedQuarantine:
+    """Round-6 ADVICE: the narrowed route must have the SAME dead-letter
+    contract as the typed path — corrupt events in a narrowing batch land
+    in {table}/_quarantine/batch-{id}/ with quarantined_rows counted,
+    never silently filtered by typed_changes."""
+
+    def test_corrupt_event_in_narrowing_batch_reaches_dlq(self, spark, tmp_path):
+        import json
+
+        _dropped_stream(tmp_path, corrupt_last_rows_event=True)
+        paths = sorted(glob.glob(str(tmp_path / "seg" / "*.parquet")))
+        table = BucketedLakeTable(
+            spark, str(tmp_path / "tq"), ["conv_id", "turn_idx"], n_buckets=2
+        )
+        applier = TranscriptsApplier(spark, table, narrowed_names={5: SURVIVORS})
+        rec = applier.apply_files(paths, batch_id=0, on_error="quarantine")
+        assert rec.get("narrowed_route") is True
+        assert rec.get("quarantined_rows") == 1
+        # good rows merged exactly as the clean-stream narrowing test
+        assert _state(table) == EXPECTED
+        # DLQ sidecar: same dir layout and column shape as the typed path
+        dead = spark.read.parquet(str(tmp_path / "tq" / "_quarantine" / "batch-0"))
+        assert set(dead.columns) == {
+            "_file_seq", "_gtid", "_event_seq", "_log_pos", "_corrupt"
+        }
+        rows = dead.collect()
+        assert len(rows) == 1
+        info = json.loads(rows[0]._corrupt)
+        assert "error" in info and info["blob_prefix"]
+
+    def test_clean_narrowing_batch_counts_zero(self, spark, tmp_path):
+        import os
+
+        _dropped_stream(tmp_path)
+        paths = sorted(glob.glob(str(tmp_path / "seg" / "*.parquet")))
+        table = BucketedLakeTable(
+            spark, str(tmp_path / "tq0"), ["conv_id", "turn_idx"], n_buckets=2
+        )
+        applier = TranscriptsApplier(spark, table, narrowed_names={5: SURVIVORS})
+        rec = applier.apply_files(paths, batch_id=0, on_error="quarantine")
+        assert rec.get("narrowed_route") is True
+        assert rec.get("quarantined_rows") == 0
+        assert not os.path.exists(str(tmp_path / "tq0" / "_quarantine"))
+        assert _state(table) == EXPECTED
