@@ -169,6 +169,12 @@ def _zorder_expr(cols: list[str], bounds: dict, bits: int = 16):
     column at once, where a linear sort tightens only its leading column
     (Delta ``OPTIMIZE ZORDER BY``).  NULLs normalize to 0 (sort first —
     any constant corner of the curve keeps them co-located)."""
+    # Per-column width cap (round-6 ADVICE): interleave positions reach
+    # bits*n - 1; position 63 is the long's sign bit (half the rows would
+    # sort as negative) and shifts >= 64 wrap mod 64 in the JVM, scrambling
+    # the curve entirely for 4+ columns.  Shrinking the width keeps every
+    # position in [0, 62] — resolution per column drops, ordering survives.
+    bits = min(bits, 63 // max(1, len(cols)))
     norms = []
     for c in cols:
         lo, hi = bounds[c]
@@ -336,18 +342,38 @@ class BucketedLakeTable:
         commit path and crash recovery call this, and watermark-only
         commits reuse the previous batch's lineage tail — the guard keeps
         metrics.jsonl at exactly one line per producing commit."""
+        import fcntl
+
         path = os.path.join(self._mdir(), "metrics.jsonl")
-        try:
-            size = os.path.getsize(path)
-            with open(path, "rb") as f:
+        # O_APPEND plus an advisory lock serializes the tail-check-then-
+        # append: a crash-recovery _finish_commit racing the committing
+        # writer for the same version could otherwise interleave the check
+        # and both append (round-6 ADVICE), double-counting in metrics().
+        # Driver-side, one lock per commit — negligible at any scale.
+        with open(path, "a+b") as f:
+            try:
+                fcntl.flock(f, fcntl.LOCK_EX)
+            except OSError:
+                pass  # no flock on this FS: keep the unserialized behavior
+            try:
+                size = f.seek(0, os.SEEK_END)
                 f.seek(max(0, size - 65536))
                 tail = f.read().splitlines()
-            if tail and json.loads(tail[-1]).get("version") == record.get("version"):
-                return
-        except (FileNotFoundError, json.JSONDecodeError):
-            pass
-        with open(path, "a") as f:
-            f.write(json.dumps(record) + "\n")
+                if tail:
+                    try:
+                        if (
+                            json.loads(tail[-1]).get("version")
+                            == record.get("version")
+                        ):
+                            return
+                    except json.JSONDecodeError:
+                        pass
+                f.write((json.dumps(record) + "\n").encode())
+            finally:
+                try:
+                    fcntl.flock(f, fcntl.LOCK_UN)
+                except OSError:
+                    pass
 
     def _read_manifest(self, version: int | None = None) -> dict:
         if version is None:
@@ -646,11 +672,20 @@ class BucketedLakeTable:
         for fl in bucket_files.values():
             (multi if len(fl) > 1 else single).extend(fl)
         def range_filter(part: DataFrame) -> DataFrame:
+            # tombstones null-pad payload columns, so a plain col >= lo
+            # evaluates NULL and would drop them even when the caller asked
+            # for them (round-6 ADVICE) — exempt tombstones from the
+            # row-level range predicate when include_tombstones is set
+            def keep(pred):
+                if include_tombstones:
+                    return F.col("_deleted") | pred
+                return pred
+
             for c, (lo, hi) in (ranges or {}).items():
                 if lo is not None:
-                    part = part.filter(F.col(c) >= F.lit(lo))
+                    part = part.filter(keep(F.col(c) >= F.lit(lo)))
                 if hi is not None:
-                    part = part.filter(F.col(c) <= F.lit(hi))
+                    part = part.filter(keep(F.col(c) <= F.lit(hi)))
             return part
 
         parts = []

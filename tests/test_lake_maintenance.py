@@ -966,6 +966,35 @@ class TestCrashRecovery:
         assert self._metric_versions(path) == [1]
         assert t.watermarks()["1"] == 20
 
+    def test_concurrent_append_same_version_writes_once(self, spark, tmp_path):
+        """A crash-recovery reader's _finish_commit racing the committing
+        writer (same version) must not double-log the lineage row — the
+        tail-check + append is serialized under an advisory lock
+        (round-6 ADVICE).  Threads hammer the append; exactly one line
+        per version may survive."""
+        import json as _json
+        import os as _os
+        import threading
+
+        path = str(tmp_path / "t")
+        t = self._fresh(spark, path)
+        t.merge(_mk_changes(spark, [("a", 0, "v1", 1, False)]), batch_id=0)
+        rec = {"version": 99, "rows": 1}
+        barrier = threading.Barrier(8)
+
+        def hammer():
+            barrier.wait()
+            for _ in range(50):
+                t._append_metrics(rec)
+
+        threads = [threading.Thread(target=hammer) for _ in range(8)]
+        [th.start() for th in threads]
+        [th.join() for th in threads]
+        mpath = _os.path.join(path, "_manifests", "metrics.jsonl")
+        with open(mpath) as f:
+            versions = [_json.loads(ln)["version"] for ln in f if ln.strip()]
+        assert versions.count(99) == 1, versions
+
 
 class TestRebucket:
     """Bucket-count migration (the operation that keeps buckets at

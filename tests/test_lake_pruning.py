@@ -435,3 +435,138 @@ class TestPruningInvariantSweep:
                 if any(p["conv_id"] == c and p["turn_idx"] == ti for p in probe)
             }
             assert got == want, (case, probe)
+
+
+class TestZOrderBitWidthCap:
+    """4+ z-order columns must never touch bit 63 (long sign) or shift
+    past 64 (JVM shift wraps mod 64) — the per-column width shrinks to
+    keep every interleave position in [0, 62] (round-6 ADVICE)."""
+
+    @staticmethod
+    def _py_z(vals, bounds, bits):
+        z = 0
+        n = len(vals)
+        for i, v in enumerate(vals):
+            lo, hi = bounds[i]
+            rng = float(hi - lo) or 1.0
+            norm = int((v - lo) / rng * ((1 << bits) - 1))  # trunc = cast long
+            norm = min((1 << bits) - 1, max(0, norm))
+            for b in range(bits):
+                z |= ((norm >> b) & 1) << (b * n + i)
+        return z
+
+    def test_four_columns_nonnegative_and_matches_model(self, spark):
+        from myzql_binlog_connector_spark.plans.lake import _zorder_expr
+
+        rows = [
+            (i, (997 * i) % 256, (13 * i + 7) % 256, (57 * i + 3) % 256)
+            for i in range(256)
+        ]
+        df = spark.createDataFrame(rows, "a bigint, b bigint, c bigint, d bigint")
+        bounds = {c: (0, 255) for c in ("a", "b", "c", "d")}
+        got = df.select(
+            "a", "b", "c", "d",
+            _zorder_expr(["a", "b", "c", "d"], bounds).alias("z"),
+        ).collect()
+        capped_bits = 63 // 4  # 15: max position 15*4-1 = 59 < 63
+        for r in got:
+            assert r.z >= 0, (r, "sign bit set")
+            want = self._py_z(
+                (r.a, r.b, r.c, r.d), [bounds[c] for c in "abcd"], capped_bits
+            )
+            assert r.z == want, (r, want)
+
+    def test_five_columns_no_shift_wrap(self, spark):
+        from myzql_binlog_connector_spark.plans.lake import _zorder_expr
+
+        rows = [
+            (i, 255 - i, (31 * i) % 256, (7 * i) % 256, (127 * i) % 256)
+            for i in range(256)
+        ]
+        df = spark.createDataFrame(
+            rows, "a bigint, b bigint, c bigint, d bigint, e bigint"
+        )
+        cols = ["a", "b", "c", "d", "e"]
+        bounds = {c: (0, 255) for c in cols}
+        got = df.select(
+            *cols, _zorder_expr(cols, bounds).alias("z")
+        ).collect()
+        capped_bits = 63 // 5  # 12: max position 12*5-1 = 59
+        for r in got:
+            assert r.z >= 0
+            want = self._py_z(
+                tuple(r[c] for c in cols), [bounds[c] for c in cols], capped_bits
+            )
+            assert r.z == want
+
+    def test_four_column_compaction_curve_not_scrambled(self, spark, tmp_path):
+        """End-to-end: a 4-column z-order compaction writes rows in
+        nondecreasing capped-width z order (pre-fix, the sign bit made
+        half the file sort 'negative-first', scrambling the curve)."""
+        import pyarrow.parquet as pq
+
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        t = BucketedLakeTable(
+            spark, str(tmp_path / "z4"), ["conv_id", "turn_idx"], n_buckets=1
+        )
+        df = spark.createDataFrame(
+            [
+                (f"k{i}", 0, i, (997 * i) % 256, (13 * i + 7) % 256,
+                 (57 * i + 3) % 256, False, 1, 1, 1)
+                for i in range(256)
+            ],
+            "conv_id string, turn_idx bigint, w bigint, x bigint, y bigint, "
+            "z bigint, _deleted boolean, _gtid bigint, _event_seq bigint, "
+            "_event_row_index bigint",
+        )
+        t.merge(df, batch_id=0)
+        t.compact(zorder_by=["w", "x", "y", "z"], buckets=[0])
+        m = t.snapshot_manifest()
+        [path] = [p for fl in m["files"].values() for p in fl]
+        tb = pq.read_table(path, columns=["w", "x", "y", "z"])
+        bounds = [(0, 255)] * 4
+        zs = [
+            self._py_z(vals, bounds, 63 // 4)
+            for vals in zip(
+                tb["w"].to_pylist(), tb["x"].to_pylist(),
+                tb["y"].to_pylist(), tb["z"].to_pylist(),
+            )
+        ]
+        assert zs == sorted(zs)
+
+
+class TestRangeReadTombstones:
+    def test_ranges_with_include_tombstones_keeps_tombstones(
+        self, spark, table
+    ):
+        """Tombstones null-pad payload columns; the row-level range
+        predicate must not silently drop them when the caller explicitly
+        asked for them (round-6 ADVICE)."""
+        table.merge(
+            _mk_changes(
+                spark,
+                [(f"c{i}", 0, f"v{i}", 100 + i, 1, False) for i in range(10)],
+            ),
+            batch_id=0,
+        )
+        table.merge(
+            _mk_changes(spark, [("c3", 0, None, None, 2, True)]), batch_id=1
+        )
+        got = table.read(
+            ranges={"ts": (100, 104)},
+            include_tombstones=True,
+            include_meta=True,
+        )
+        keys = {(r.conv_id, r.turn_idx, bool(r._deleted))
+                for r in got.select(
+                    "conv_id", "turn_idx", "_deleted").collect()}
+        # live rows in range (c3 was tombstoned, so c0,c1,c2,c4) + the
+        # tombstone itself, exempt from the range predicate
+        assert keys == {
+            ("c0", 0, False), ("c1", 0, False), ("c2", 0, False),
+            ("c4", 0, False), ("c3", 0, True),
+        }
+        # without the flag, semantics are unchanged: live in-range rows only
+        live = table.read(ranges={"ts": (100, 104)})
+        assert {r.conv_id for r in live.collect()} == {"c0", "c1", "c2", "c4"}
