@@ -492,7 +492,20 @@ def bench_feed_stream(
             got = drain_stream(f"t{i}")
             stream_trials.append(round(time.monotonic() - t0, 3))
             assert got == n_rows, (got, n_rows)
+        # stream fixed cost: re-run a drain on an ALREADY-CAUGHT-UP
+        # checkpoint — full query start/plan/WAL/stop machinery, zero data.
+        # The bench's one-shot stream form charges this constant to every
+        # drain; a production follower (replicate()) starts once and
+        # amortizes it, so the honest scaling number for stream DELIVERY
+        # is rows / (stream_sec - fixed_sec) — published both ways.
+        fixed_trials = []
+        for i in range(2):
+            t0 = time.monotonic()
+            got = drain_stream("t1")  # t1's checkpoint is fully drained
+            fixed_trials.append(round(time.monotonic() - t0, 3))
+            assert got == 0, got
         b, s = min(batch_trials), min(stream_trials)
+        fx = min(fixed_trials)
         return {
             "rows": n_rows,
             "batch_sec": b,
@@ -501,6 +514,11 @@ def bench_feed_stream(
             "stream_sec": s,
             "stream_trials": stream_trials,
             "stream_rows_per_sec": round(n_rows / s, 1),
+            "stream_fixed_sec": fx,
+            "stream_fixed_trials": fixed_trials,
+            "stream_marginal_rows_per_sec": round(
+                n_rows / max(1e-9, s - fx), 1
+            ),
         }
     finally:
         shutil.rmtree(run_dir, ignore_errors=True)
@@ -665,6 +683,35 @@ def main():
         "full_probe_exact": _got_full == _truth,
     }
 
+    # clustered-fixture recall (round-6 directive #4): the near-uniform
+    # driver embeddings cap partial-probe recall near coverage; on the
+    # deterministic mixture-of-Gaussians fixture — production embedding
+    # geometry — recall at ~30% coverage must clear 0.9 (pytest-pinned)
+    from myzql_binlog_connector_spark.operators.similarity import (
+        clustered_embeddings,
+    )
+
+    cemb = clustered_embeddings(spark).persist()
+    cprobes = cemb.filter(cemb.vec_id < 50)
+    _ctruth = {
+        (r.probe_id, r.neighbor_id)
+        for r in ann_topk_bruteforce(cemb, cprobes, k=3)
+        .select("probe_id", "neighbor_id").collect()
+    }
+    _cgot = {
+        (r.probe_id, r.neighbor_id)
+        for r in ann_topk_ivf(cemb, cprobes, k=3, stride=100, nprobe=6)
+        .select("probe_id", "neighbor_id").collect()
+    }
+    cemb.unpersist()
+    ivf_recall_clustered = {
+        "fixture": "mixture-of-gaussians n=2000 k=20 noise=0.08 seed=7",
+        "nprobe": 6,
+        "n_cells": 20,
+        "coverage": 0.3,
+        "recall": round(len(_ctruth & _cgot) / max(1, len(_ctruth)), 4),
+    }
+
     probe_end = window_probe(spark, sf_dir)
     total = round(sum(queries.values()), 3)
     out = {
@@ -691,6 +738,7 @@ def main():
         "lake_feed_stream": fd,
         "ivf_cells": ivf_cells,
         "ivf_recall": ivf_recall,
+        "ivf_recall_clustered": ivf_recall_clustered,
         # window-quality normalizer: same fixed pure-Spark probe first and
         # last — divide round-over-round deltas by the probe drift before
         # calling anything a regression (see window_probe docstring)

@@ -63,6 +63,20 @@ def main():
         "stream_efficiency": round(
             hi["stream_rows_per_sec"] / (4 * lo["stream_rows_per_sec"]), 3
         ),
+        # the one-shot stream number charges full query start/stop + WAL
+        # machinery (measured per level as stream_fixed_sec via an empty
+        # drain) to the single drain it times; a production follower
+        # starts once and amortizes it.  Marginal efficiency scales the
+        # DELIVERY work — the honest Amdahl split (round-7 directive #3).
+        "stream_marginal_efficiency": round(
+            hi["stream_marginal_rows_per_sec"]
+            / (4 * lo["stream_marginal_rows_per_sec"]),
+            3,
+        ),
+        "stream_fixed_sec": {
+            str(small): lo["stream_fixed_sec"],
+            str(big): hi["stream_fixed_sec"],
+        },
     }
     print(json.dumps(out))
 

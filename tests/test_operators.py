@@ -565,3 +565,31 @@ class TestIvfRecall:
         assert len(truth & wide) / len(truth) >= 0.75
         _, narrow = self._truth_and_ivf(spark, stride=25, nprobe=3)
         assert len(truth & narrow) / len(truth) >= 0.45
+
+    def test_clustered_fixture_recall_at_30pct_coverage(self, spark):
+        """Round-6 directive #4: on CLUSTERED embeddings (the production
+        geometry IVF exists for) partial-probe recall must clear 0.9 at
+        ~30% coverage — the near-uniform driver fixture caps recall near
+        coverage and made the published number look broken.  The fixture
+        and the whole IVF pipeline are RNG-free/seeded, so this is a
+        stable pin, not a flaky statistical test (measured 0.953)."""
+        from pyspark.sql import functions as F
+
+        from myzql_binlog_connector_spark.operators import similarity
+
+        emb = similarity.clustered_embeddings(spark).persist()
+        try:
+            probes = emb.filter(F.col("vec_id") < 50)
+            truth = self._pairs(
+                similarity.ann_topk_bruteforce(emb, probes, k=3)
+            )
+            got = self._pairs(
+                similarity.ann_topk_ivf(
+                    emb, probes, k=3, stride=100, nprobe=6
+                )
+            )
+            assert len(truth) == 150
+            recall = len(truth & got) / len(truth)
+            assert recall >= 0.9, recall
+        finally:
+            emb.unpersist()
