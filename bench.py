@@ -424,6 +424,85 @@ def bench_point_lookup(spark, sf_tag: str, n_buckets: int = 256) -> dict:
         shutil.rmtree(run_dir, ignore_errors=True)
 
 
+def bench_replication(spark, sf_tag: str, n_buckets: int = 32) -> dict:
+    """Replica follow throughput (round-6 directive #6): the flagship
+    consumer story — ``replicate()`` following a primary's change feed.
+
+    Primary ingests the CDC fixture as 4 commits (timed: the same merge
+    path the flagship e2e bench measures); a replica then starts and
+    catches up the whole backlog through the 'lake_changes' feed +
+    foreachBatch merge (timed: feed delivery + re-merge).  State equality
+    is asserted via count + an order-independent row checksum.  The
+    catch-up number charges the stream's ~2s query fixed cost (measured
+    in bench_feed_stream as stream_fixed_sec) to the single drain; a
+    steady-state follower amortizes it."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from myzql_binlog_connector_spark.plans.apply import TranscriptsApplier
+    from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+    from myzql_binlog_connector_spark.streaming.replica import replicate
+
+    seg_dir, n_ops = ensure_cdc_fixture(sf_tag)
+    src_dir = scratch_dir("bench_repl_src_")
+    dst_dir = scratch_dir("bench_repl_dst_")
+    ckpt = scratch_dir("bench_repl_ck_")
+    try:
+        paths = sorted(glob.glob(os.path.join(seg_dir, "*.parquet")))
+        src = BucketedLakeTable(
+            spark, src_dir, ["conv_id", "turn_idx"], n_buckets=n_buckets
+        )
+        applier = TranscriptsApplier(spark, src, salt=None)
+        step = max(1, len(paths) // 4)
+        t0 = time.monotonic()
+        for b, i in enumerate(range(0, len(paths), step)):
+            applier.apply_files(paths[i : i + step], batch_id=b)
+        primary_sec = round(time.monotonic() - t0, 3)
+
+        dst = BucketedLakeTable(
+            spark, dst_dir, ["conv_id", "turn_idx"], n_buckets=n_buckets
+        )
+        t0 = time.monotonic()
+        q = replicate(spark, src_dir, dst, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        replica_sec = round(time.monotonic() - t0, 3)
+
+        def checksum(t):
+            # bit_xor: order-independent, no ANSI long-sum overflow
+            r = (
+                t.read()
+                .select(
+                    F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(
+                        F.xxhash64("conv_id", "turn_idx", "text")
+                    ).alias("h"),
+                )
+                .collect()[0]
+            )
+            return (r.n, r.h)
+
+        assert checksum(src) == checksum(dst), "replica diverged from primary"
+        n_commits = src.snapshot_manifest()["version"]
+        return {
+            "change_rows": n_ops,
+            "commits": n_commits,
+            "primary_ingest_sec": primary_sec,
+            "primary_rows_per_sec": round(n_ops / primary_sec, 1),
+            "replica_catchup_sec": replica_sec,
+            "replica_rows_per_sec": round(n_ops / replica_sec, 1),
+            "replica_over_primary": round(primary_sec / replica_sec, 2),
+            "state_match": True,
+        }
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(dst_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def bench_feed_stream(
     spark, sf_tag: str, n_buckets: int = 32, chunk_bytes: int | None = None
 ) -> dict:
@@ -607,6 +686,8 @@ def main():
     queries["lake_point_lookup"] = lk["pruned_sec"]
     fd = bench_feed_stream(spark, sf_tag)
     queries["lake_feed_stream"] = fd["stream_sec"]
+    rp = bench_replication(spark, sf_tag)
+    queries["lake_replication"] = rp["replica_catchup_sec"]
 
     from myzql_binlog_connector_spark.operators.fuzzy import release_cached
 
@@ -736,6 +817,7 @@ def main():
         "cdc_multitable": mt,
         "lake_point_lookup": lk,
         "lake_feed_stream": fd,
+        "lake_replication": rp,
         "ivf_cells": ivf_cells,
         "ivf_recall": ivf_recall,
         "ivf_recall_clustered": ivf_recall_clustered,

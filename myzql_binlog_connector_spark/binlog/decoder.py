@@ -630,9 +630,15 @@ class EnvelopeBatch:
         so an exception can leave the columns ragged."""
         return tuple(len(getattr(self, name)) for name in self.__slots__)
 
-    def truncate(self, marks: tuple) -> None:
+    def truncate(self, marks: tuple | None) -> None:
         """Discard everything appended after ``marks`` (partial rows of a
-        failed event), restoring a rectangular batch."""
+        failed event), restoring a rectangular batch.  ``None`` means the
+        batch was empty at the mark point (the lazy-snapshot fast path:
+        callers skip :meth:`mark` while the batch is empty) — clear."""
+        if marks is None:
+            for name in self.__slots__:
+                del getattr(self, name)[:]
+            return
         for name, n in zip(self.__slots__, marks):
             col = getattr(self, name)
             if len(col) > n:

@@ -219,8 +219,13 @@ def make_decoder(table_filter=None, stop_position=None, out_batch_rows: int = 81
                 # snapshot so a mid-event failure can be rolled back instead
                 # of leaving the batch ragged (which would fail the whole
                 # partition in RecordBatch.from_arrays — defeating quarantine
-                # exactly on the events it exists for).
-                marks = out.mark() if quarantine else None
+                # exactly on the events it exists for).  Lazy while the
+                # batch is empty — truncate(None) clears (round-7 A/B: the
+                # unconditional per-event snapshot was ~8% of clean decode
+                # on the typed path; same economics here).
+                marks = (
+                    out.mark() if (quarantine and len(out)) else None
+                )
                 try:
                     session.process_packet_columnar_vec(
                         blobs[i], file_seqs[i], gtids[i], event_seqs[i], out, vec
@@ -403,17 +408,26 @@ def make_typed_decoder(
         for blob, file_seq, gtid, event_seq in packet_iter:
             if quarantine:
                 # per-row parsers extend the builder lists mid-event;
-                # snapshot so a failure rolls back instead of leaving the
-                # batch ragged (same policy as make_decoder)
-                marks = tuple(len(c) for c in cols)
+                # a failure must roll back instead of leaving the batch
+                # ragged (same policy as make_decoder).  LAZY snapshot
+                # (round-7 A/B: an unconditional tuple(len) per event cost
+                # ~8% of clean-stream decode): n == 0 ⇔ cols is empty —
+                # the steady state when every event takes the vectorized
+                # hot path — so the rollback target is "clear"; a real
+                # snapshot is taken only while a cold batch accumulates.
+                marks = tuple(len(c) for c in cols) if n else None
                 try:
                     n += session.process_packet_typed_vec(
                         blob, file_seq, gtid, event_seq,
                         apps, meta_cols, kinds_t, keys_t, n_payload, vec,
                     )
                 except Exception as e:
-                    for c, m in zip(cols, marks):
-                        del c[m:]
+                    if marks is None:
+                        for c in cols:
+                            del c[:]
+                    else:
+                        for c, m in zip(cols, marks):
+                            del c[m:]
                     mv = memoryview(blob)
                     lp = (
                         int.from_bytes(mv[14:18], "little")
