@@ -12,9 +12,11 @@ Vector math comes in two equivalent implementations, both bit-identical
 to the sequential-fold semantics the DuckDB oracles compute:
 
 * **Arrow batch (the operators' default)** — ``dot_arrow``/``norm_arrow``/
-  ``lsh_bucket_arrow`` pandas_udfs: one vectorized numpy pass per ~8k-row
-  Arrow batch (SIMD over the batch, dimensions accumulated in order).
-  Plan stays one node, so Catalyst analysis/codegen cost is constant.
+  ``lsh_bucket_arrow`` arrow_udfs (pyspark 4.1): the list column arrives
+  as a zero-copy Arrow ListArray, one vectorized numpy pass per ~8k-row
+  batch (SIMD over the batch, dimensions accumulated in order), exact
+  shape validation via list offsets (``_mat_arrow``).  Plan stays one
+  node, so Catalyst analysis/codegen cost is constant.
 * **Unrolled codegen** — ``dot``/``norm``/``cosine``/``lsh_bucket``
   Column expressions over ``element_at`` terms: pure-JVM whole-stage
   codegen, no Python workers, but a 64-term tree per dot makes plan
@@ -37,12 +39,11 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
-from pyspark.sql.functions import arrow_udf, pandas_udf
+from pyspark.sql.functions import arrow_udf
 
 #: embedding dimensionality of the testdata corpus; callers with other
 #: shapes pass ``dims=...`` explicitly.
@@ -109,7 +110,7 @@ def cosine(a: Column, b: Column, dims: int = DEFAULT_DIMS) -> Column:
 #
 # The unrolled codegen forms above have tiny per-row cost but a LARGE plan:
 # 64-term trees per dot make Catalyst analysis/codegen pay seconds per
-# query — fine at 10^9 rows, dominant at benchmark SF.  These pandas_udf
+# query — fine at 10^9 rows, dominant at benchmark SF.  These arrow_udf
 # forms keep the plan a single node and compute each batch as 64 vectorized
 # numpy steps; the accumulation loops over dimensions IN ORDER, so results
 # stay bit-identical to the sequential fold (and the DuckDB oracles).
@@ -347,30 +348,43 @@ def ann_topk_bruteforce(
     id_t = dict(corpus.dtypes)[id_col]
 
     def score(batches):
+        # mapInArrow (round 7): the corpus column stays an Arrow ListArray
+        # end to end — `_mat_arrow` validates via list offsets and reshapes
+        # the values buffer zero-copy; ids fan out with Arrow `take` so
+        # their exact type survives.  The pandas form paid an object-array
+        # materialization plus a per-row len gate on EVERY corpus row —
+        # the one full-scan path of the operator at 10^9 vectors.
         pids_, P_, pn_ = bc.value
         n_probes = len(pids_)
-        for pdf in batches:
-            V = _mat(pdf[vec_col], dims)
-            n = V.shape[0]
+        for rb in batches:
+            n = rb.num_rows
             if n == 0:
                 continue
+            ids = rb.column(rb.schema.get_field_index(id_col))
+            V = _mat_arrow(
+                rb.column(rb.schema.get_field_index(vec_col)), dims
+            )
             vn = np.sqrt(_seq_rowdot(V, V))
             acc = np.zeros((n, n_probes), dtype=np.float64)
             for j in range(dims):  # in-order fold per (row, probe)
                 acc = acc + V[:, j, None] * P_[None, :, j]
             sims = acc / (vn[:, None] * pn_[None, :])
-            yield pd.DataFrame(
-                {
-                    probe_id_col: np.tile(np.array(pids_), n),
-                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), n_probes),
-                    "sim": sims.ravel(),
-                }
+            probe_vals = pa.array(pids_).cast(ids.type)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    probe_vals.take(
+                        pa.array(np.tile(np.arange(n_probes), n))
+                    ),
+                    ids.take(pa.array(np.repeat(np.arange(n), n_probes))),
+                    pa.array(sims.ravel(), type=pa.float64()),
+                ],
+                names=[probe_id_col, "neighbor_id", "sim"],
             )
 
     scored = (
         _spread(corpus)
         .select(id_col, vec_col)
-        .mapInPandas(score, f"{probe_id_col} {id_t}, neighbor_id {id_t}, sim double")
+        .mapInArrow(score, f"{probe_id_col} {id_t}, neighbor_id {id_t}, sim double")
         .filter(F.col("neighbor_id") != F.col(probe_id_col))
         .select(probe_id_col, "neighbor_id", F.round("sim", 4).alias("sim"))
     )
