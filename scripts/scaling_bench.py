@@ -94,6 +94,14 @@ def main():
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # the per-round appendices (A..) accumulate below the header —
+    # rewriting the whole file would destroy them; keep the tail
+    tail = ""
+    if os.path.exists(out):
+        prev = open(out).read()
+        idx = prev.find("\n## Appendix")
+        if idx >= 0:
+            tail = prev[idx:]
     with open(out, "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (sandbox form of the north rule)
 
@@ -139,6 +147,7 @@ Raw results:
 {json.dumps({"small": r_small, "big": r_big}, indent=2)}
 ```
 """)
+        f.write(tail)
     print(json.dumps({"eff_e2e": eff, "eff_decode": eff_d,
                       "tput_small": tput_small, "tput_big": tput_big}))
     print("wrote", out)
