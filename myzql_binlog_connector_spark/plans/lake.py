@@ -234,10 +234,28 @@ class BucketedLakeTable:
         auto_fold: bool = True,
         stats_cols: list[str] | None = None,
         lineage_keep: int = 200,
+        bucket_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
+        # bucket_cols: the subset of key columns the bucket hash uses
+        # (default: all of them).  Bucketing on a prefix — e.g.
+        # bucket_cols=["conv_id"] for a (conv_id, turn_idx) key — co-locates
+        # every row of a group in ONE bucket, so group-scoped reads
+        # (read(keys=[{"conv_id": ...}])) prune to that bucket the way point
+        # lookups do, at the cost of coarser write skew (the hot-bucket
+        # salt-split guards that).  LWW identity stays the FULL key; this
+        # only changes row placement.  Layout-authoritative like n_buckets:
+        # the committed manifest wins over the handle (_sync_layout).
+        if bucket_cols is not None:
+            bucket_cols = list(bucket_cols)
+            if not bucket_cols or not set(bucket_cols) <= set(self.key_cols):
+                raise ValueError(
+                    f"bucket_cols {bucket_cols} must be a non-empty subset "
+                    f"of key_cols {self.key_cols}"
+                )
+        self.bucket_cols = bucket_cols or self.key_cols
         self.n_buckets = n_buckets
         self.max_files_per_bucket = max_files_per_bucket
         # a bucket whose batch row count exceeds BOTH 3x the dirty-bucket
@@ -350,7 +368,11 @@ class BucketedLakeTable:
         # writer for the same version could otherwise interleave the check
         # and both append (round-6 ADVICE), double-counting in metrics().
         # Driver-side, one lock per commit — negligible at any scale.
-        with open(path, "a+b") as f:
+        # buffering=0: the append must reach the file BEFORE the lock is
+        # released — a buffered write would flush at close(), after the
+        # finally-unlock, letting the next locker read a stale tail and
+        # append a duplicate anyway
+        with open(path, "a+b", buffering=0) as f:
             try:
                 fcntl.flock(f, fcntl.LOCK_EX)
             except OSError:
@@ -498,22 +520,37 @@ class BucketedLakeTable:
         nb = m.get("n_buckets")
         if nb is not None and int(nb) != self.n_buckets:
             self.n_buckets = int(nb)
+        # a manifest without the field predates bucket_cols and was
+        # bucketed on the full key — the committed layout always wins
+        mb = self._manifest_bucket_cols(m, self.key_cols)
+        if mb != self.bucket_cols:
+            self.bucket_cols = mb
+
+    @staticmethod
+    def _manifest_bucket_cols(m: dict, default: list[str]) -> list[str]:
+        """Bucket columns of the manifest BEING READ (pre-bucket_cols
+        manifests bucketed on the full key)."""
+        return list(m.get("bucket_cols") or m.get("key_cols") or default)
 
     def _buckets_for_keys(
-        self, keys: list[dict], schema: StructType, n_buckets: int
+        self,
+        keys: list[dict],
+        schema: StructType,
+        n_buckets: int,
+        bucket_cols: list[str],
     ) -> set:
-        """Bucket ids for exact key tuples, computed with Spark's own hash
+        """Bucket ids for key tuples, computed with Spark's own hash
         (one tiny local job over a probe frame typed from the stored
         schema — no Python Murmur3 reimplementation to drift).
-        ``n_buckets`` comes from the manifest BEING READ, not the handle —
-        a time-travel read across a ``rebucket`` must hash against that
-        snapshot's layout."""
-        probe = self._key_probe_df(keys, schema)
+        ``n_buckets`` and ``bucket_cols`` come from the manifest BEING
+        READ, not the handle — a time-travel read across a ``rebucket``
+        must hash against that snapshot's layout."""
+        probe = self._key_probe_df(keys, schema, bucket_cols)
         return {
             r["b"]
             for r in probe.select(
                 F.pmod(
-                    F.hash(*[F.col(c) for c in self.key_cols]),
+                    F.hash(*[F.col(c) for c in bucket_cols]),
                     F.lit(n_buckets),
                 ).alias("b")
             )
@@ -542,7 +579,10 @@ class BucketedLakeTable:
         buckets = m["files"]
         if keys is not None:
             hit = self._buckets_for_keys(
-                keys, schema, int(m.get("n_buckets", self.n_buckets))
+                keys,
+                schema,
+                int(m.get("n_buckets", self.n_buckets)),
+                self._manifest_bucket_cols(m, self.bucket_cols),
             )
             buckets = {b: fl for b, fl in buckets.items() if int(b) in hit}
         if ranges:
@@ -574,38 +614,72 @@ class BucketedLakeTable:
     # would blow up codegen/analysis, a broadcast of 10k keys is trivial)
     KEY_PREDICATE_MAX = 64
 
-    def _key_cond(self, keys: list[dict], schema: StructType):
-        """Row-level predicate for exact key tuples (OR over tuples, AND
-        over key columns, null-safe equality typed from the stored
+    def _probe_cols(self, keys: list[dict], bucket_cols: list[str]) -> list[str]:
+        """The column set a key-lookup probes: every dict must name the
+        same columns, all of them key columns (only key-column predicates
+        commute with the per-key LWW aggregate), and at least the bucket
+        columns of the manifest being read (otherwise no bucket can be
+        ruled out and the caller should use a plain filter instead).
+        Full-key dicts always qualify; with ``bucket_cols`` a prefix of
+        the key, group lookups ({"conv_id": ...}) qualify too."""
+        cols = [c for c in self.key_cols if c in keys[0]]
+        want = set(keys[0])
+        if not want <= set(self.key_cols):
+            raise ValueError(
+                f"keys may only name key columns {self.key_cols}, "
+                f"got {sorted(want)}"
+            )
+        if any(set(k) != want for k in keys):
+            raise ValueError("every key dict must name the same columns")
+        if not set(bucket_cols) <= want:
+            raise ValueError(
+                f"keys must include the table's bucket columns "
+                f"{list(bucket_cols)} to prune (got {sorted(want)})"
+            )
+        return cols
+
+    def _key_cond(self, keys: list[dict], schema: StructType, cols: list[str]):
+        """Row-level predicate for key tuples (OR over tuples, AND over
+        the probed columns, null-safe equality typed from the stored
         schema).  Only used for probe sets small enough to inline —
         see :meth:`_apply_keys`."""
         conds = None
         for k in keys:
             cond = None
-            for c in self.key_cols:
+            for c in cols:
                 eq = F.col(c).eqNullSafe(F.lit(k[c]).cast(schema[c].dataType))
                 cond = eq if cond is None else (cond & eq)
             conds = cond if conds is None else (conds | cond)
         return conds
 
-    def _key_probe_df(self, keys: list[dict], schema: StructType) -> DataFrame:
+    def _key_probe_df(
+        self, keys: list[dict], schema: StructType, cols: list[str] | None = None
+    ) -> DataFrame:
+        cols = cols or self.key_cols
         key_fields = StructType(
-            [type(schema[c])(c, schema[c].dataType, True) for c in self.key_cols]
+            [type(schema[c])(c, schema[c].dataType, True) for c in cols]
         )
         return self.spark.createDataFrame(
-            [tuple(k[c] for c in self.key_cols) for k in keys], key_fields
+            [tuple(k[c] for c in cols) for k in keys], key_fields
         ).dropDuplicates()
 
-    def _apply_keys(self, part: DataFrame, keys: list[dict], schema: StructType) -> DataFrame:
-        """Restrict ``part`` to the probe key tuples.  Small sets inline an
-        OR predicate (pushes into the parquet scan); big sets broadcast a
-        semi-join instead — same per-key-group semantics, so both forms
-        commute with the LWW aggregate."""
+    def _apply_keys(
+        self,
+        part: DataFrame,
+        keys: list[dict],
+        schema: StructType,
+        cols: list[str],
+    ) -> DataFrame:
+        """Restrict ``part`` to the probe key tuples (exact keys or
+        bucket-prefix groups).  Small sets inline an OR predicate (pushes
+        into the parquet scan); big sets broadcast a semi-join instead —
+        both are functions of key columns only, so they keep or drop whole
+        key groups and commute with the LWW aggregate."""
         if len(keys) <= self.KEY_PREDICATE_MAX:
-            return part.filter(self._key_cond(keys, schema))
-        probe = F.broadcast(self._key_probe_df(keys, schema))
+            return part.filter(self._key_cond(keys, schema, cols))
+        probe = F.broadcast(self._key_probe_df(keys, schema, cols))
         cond = None
-        for c in self.key_cols:  # eqNullSafe: same NULL-key semantics as
+        for c in cols:  # eqNullSafe: same NULL-key semantics as
             e = part[c].eqNullSafe(probe[c])  # the predicate path
             cond = e if cond is None else (cond & e)
         return part.join(probe, on=cond, how="leftsemi")
@@ -637,10 +711,13 @@ class BucketedLakeTable:
         deletes data files, so any committed version stays readable.  A
         future vacuum must bound this to its retention window.
 
-        ``keys``: exact key tuple(s) ({key_col: value} or a list of them) —
-        the read plans only the buckets those keys hash to (point lookups
+        ``keys``: key tuple(s) ({key_col: value} or a list of them) — the
+        read plans only the buckets those keys hash to (point lookups
         touch 1 bucket of tens of thousands at 100 TB) and returns exactly
-        the matching live rows.  ``ranges``: {col: (lo, hi)} (either bound
+        the matching live rows.  Dicts may name a SUBSET of the key
+        columns as long as it covers the table's ``bucket_cols`` — on a
+        table bucketed by ``["conv_id"]`` a ``{"conv_id": ...}`` lookup is
+        a one-bucket GROUP fetch (every turn of the conversation).  ``ranges``: {col: (lo, hi)} (either bound
         None for open) — buckets whose recorded file stats (``stats_cols``)
         exclude the range are never scanned, and the predicate is exact
         row-level (NULLs excluded, SQL comparison semantics).  Both prune
@@ -667,6 +744,11 @@ class BucketedLakeTable:
         schema = StructType.fromJson(json.loads(m["schema"]))
         if isinstance(keys, dict):
             keys = [keys]
+        probe_cols = (
+            self._probe_cols(keys, self._manifest_bucket_cols(m, self.bucket_cols))
+            if keys
+            else None
+        )
         bucket_files = self._select_buckets(m, schema, keys=keys, ranges=ranges)
         single, multi = [], []
         for fl in bucket_files.values():
@@ -692,12 +774,12 @@ class BucketedLakeTable:
         if single:
             part = self._read_files(single, m["schema"])
             if keys:
-                part = self._apply_keys(part, keys, schema)
+                part = self._apply_keys(part, keys, schema, probe_cols)
             parts.append(range_filter(part))
         if multi:
             part = self._read_files(multi, m["schema"])
             if keys:
-                part = self._apply_keys(part, keys, schema)  # pre-LWW: commutes
+                part = self._apply_keys(part, keys, schema, probe_cols)  # pre-LWW: commutes
             parts.append(range_filter(self._lww(part, schema)))
         if not parts:
             parts = [self._read_files([], m["schema"])]
@@ -792,7 +874,9 @@ class BucketedLakeTable:
     # ------------------------------------------------------------------
 
     def bucket_expr(self):
-        return F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets))
+        return F.pmod(
+            F.hash(*[F.col(c) for c in self.bucket_cols]), F.lit(self.n_buckets)
+        )
 
     def merge(
         self,
@@ -928,9 +1012,14 @@ class BucketedLakeTable:
             self.aligned_writes and n_changes >= self.n_buckets * 512 and not hot
         )
         if aligned:
+            # repartition on bucket_cols: Murmur3(bucket_cols) pmod
+            # n_buckets IS the bucket function, and HashPartitioning on a
+            # subset of the grouping keys still satisfies the aggregate's
+            # ClusteredDistribution (equal full key ⇒ equal subset ⇒ same
+            # partition), so the groupBy below reuses this one exchange
             reduced = (
                 changes.repartition(
-                    self.n_buckets, *[F.col(c) for c in self.key_cols]
+                    self.n_buckets, *[F.col(c) for c in self.bucket_cols]
                 )
                 .groupBy(*self.key_cols)
                 .agg(F.max_by(row_struct, ord_struct).alias("_row"))
@@ -1069,6 +1158,7 @@ class BucketedLakeTable:
             "schema": schema_json,
             "n_buckets": self.n_buckets,
             "key_cols": self.key_cols,
+            "bucket_cols": self.bucket_cols,
             "files": new_files,
             "watermarks": dict(wms),
             "lineage": ((m or {}).get("lineage", []) + [record])[
@@ -1172,10 +1262,7 @@ class BucketedLakeTable:
             df = df.filter(
                 (~F.col("_deleted")) | (F.col("_gtid") >= F.lit(drop_tombstones_below[0]))
             )
-        df = df.withColumn(
-            "_bucket",
-            F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)),
-        )
+        df = df.withColumn("_bucket", self.bucket_expr())
         version = m["version"] + 1
         # writer-unique dir — same race rationale as merge(): a losing
         # compactor's overwrite must never delete a winner's committed files
@@ -1297,10 +1384,15 @@ class BucketedLakeTable:
             "writer contention is pathological; rerun when ingest quiesces."
         )
 
-    def rebucket(self, n_buckets: int) -> dict:
+    def rebucket(
+        self, n_buckets: int, bucket_cols: list[str] | None = None
+    ) -> dict:
         """Migrate the table to a new bucket count — the operation that
         keeps buckets at ~0.5–2 GB as a table grows from GBs toward 100 TB
         (the Iceberg partition-spec-evolution analogue for this layout).
+        ``bucket_cols`` optionally migrates the bucket-column layout in the
+        same rewrite (e.g. full-key → ``["conv_id"]`` to turn conversation
+        fetches into one-bucket reads).
 
         One full rewrite: the current LWW state — tombstones included,
         they still gate late replays — is hashed into the new layout,
@@ -1317,7 +1409,15 @@ class BucketedLakeTable:
         n_buckets = int(n_buckets)
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-        if n_buckets == old_n:
+        if bucket_cols is not None:
+            bucket_cols = list(bucket_cols)
+            if not bucket_cols or not set(bucket_cols) <= set(self.key_cols):
+                raise ValueError(
+                    f"bucket_cols {bucket_cols} must be a non-empty subset "
+                    f"of key_cols {self.key_cols}"
+                )
+        new_bucket_cols = bucket_cols or self.bucket_cols
+        if n_buckets == old_n and new_bucket_cols == self.bucket_cols:
             return {"version": m["version"], "rebucket": None}
         schema = StructType.fromJson(json.loads(m["schema"]))
         all_files = [p for fl in m["files"].values() for p in fl]
@@ -1325,7 +1425,7 @@ class BucketedLakeTable:
         df = df.withColumn(
             "_bucket",
             F.pmod(
-                F.hash(*[F.col(c) for c in self.key_cols]), F.lit(n_buckets)
+                F.hash(*[F.col(c) for c in new_bucket_cols]), F.lit(n_buckets)
             ),
         )
         version = m["version"] + 1
@@ -1359,14 +1459,18 @@ class BucketedLakeTable:
             "rebucket": [old_n, n_buckets],
             "files_written": len(written),
         }
+        if new_bucket_cols != self.bucket_cols:
+            record["rebucket_cols"] = [self.bucket_cols, new_bucket_cols]
         m["version"] = version
         m["n_buckets"] = n_buckets
+        m["bucket_cols"] = new_bucket_cols
         m["files"] = files_map
         if self.stats_cols:
             m["file_stats"] = self._collect_stats(written, self.stats_cols)
         m["lineage"] = m.get("lineage", []) + [record]
         self._commit(m)
         self.n_buckets = n_buckets
+        self.bucket_cols = new_bucket_cols
         return record
 
     def vacuum(self, retain_last: int = 10, orphan_grace_s: float = 3600) -> dict:
