@@ -12,6 +12,7 @@ somebody's scheduled job, not part of a merge.  This is that job:
         [--zorder-by x,y]          # or Z-curve cluster for multi-column skipping
         [--vacuum N]               # retain last N versions, reclaim the rest
         [--rebucket N]             # migrate bucket count (one full rewrite)
+        [--bucket-cols conv_id]    # with --rebucket: migrate bucket columns too
         [--master local[*]]
 
 Prints one JSON summary line per action (scriptable; same convention as
@@ -50,6 +51,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="skip unreferenced files younger than this "
                     "(in-flight-commit guard; 0 only when no writer runs)")
     ap.add_argument("--rebucket", type=int, default=None, metavar="N")
+    ap.add_argument("--bucket-cols", default=None,
+                    help="with --rebucket: migrate the bucket-column "
+                    "layout too (comma-separated subset of --keys; e.g. "
+                    "conv_id to make conversation fetches one-bucket reads)")
     ap.add_argument("--max-files-per-bucket", type=int, default=8,
                     help="fold threshold for needs_fold()/--compact "
                     "(an operator policy, not table state)")
@@ -85,6 +90,7 @@ def main(argv: list[str] | None = None) -> int:
             "action": "status",
             "version": m["version"],
             "n_buckets": int(m["n_buckets"]),
+            "bucket_cols": t.bucket_cols,
             "live_files": len(files),
             "needs_fold": t.needs_fold(),
             "retained_versions": len(t.versions()),
@@ -101,7 +107,10 @@ def main(argv: list[str] | None = None) -> int:
             )
             out.append({"action": "compact", **rec})
     if args.rebucket:
-        out.append({"action": "rebucket", **t.rebucket(args.rebucket)})
+        out.append({"action": "rebucket", **t.rebucket(
+            args.rebucket,
+            bucket_cols=args.bucket_cols.split(",") if args.bucket_cols else None,
+        )})
     if args.vacuum:
         out.append({"action": "vacuum", **t.vacuum(
             retain_last=args.vacuum, orphan_grace_s=args.orphan_grace_s

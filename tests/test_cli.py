@@ -109,3 +109,26 @@ class TestLakeMaintainCli:
         self._mk(spark, path, n=1)
         with _pytest.raises(ValueError, match="keyed by"):
             main([path, "--keys", "conv_id", "--status"])
+
+    def test_rebucket_bucket_cols_migration(self, spark, tmp_path, capsys):
+        """--rebucket N --bucket-cols conv_id migrates the layout; the
+        status line and group fetch reflect it."""
+        import json as _json
+
+        from scripts.lake_maintain import main
+
+        path = str(tmp_path / "t")
+        t = self._mk(spark, path, n=3)
+        rc = main([path, "--keys", "conv_id,turn_idx",
+                   "--rebucket", "4", "--bucket-cols", "conv_id", "--status"])
+        assert rc == 0
+        recs = [_json.loads(l) for l in capsys.readouterr().out.splitlines()]
+        by = {r["action"]: r for r in recs}
+        assert by["rebucket"]["rebucket_cols"] == [
+            ["conv_id", "turn_idx"], ["conv_id"]
+        ]
+        # status ran before rebucket in arg order but reports the handle's
+        # post-sync state; re-read the manifest for the committed layout
+        assert t.snapshot_manifest()["bucket_cols"] == ["conv_id"]
+        grp = t.read(keys={"conv_id": "k"})
+        assert grp.count() == 1 and grp.collect()[0].text == "v2"

@@ -171,6 +171,107 @@ class TestMaterialize:
         finally:
             q.stop()
 
+    def test_add_column_mid_follow_stops_then_restart_recovers(
+        self, spark, tmp_path
+    ):
+        """Primary ADDs a column mid-follow: the feed fails loud (the
+        replica contract), and a restart with the same checkpoint resumes
+        with aggregates that may now reference the evolved column."""
+        from myzql_binlog_connector_spark.streaming.matview import materialize
+
+        src = _mk_table(spark, str(tmp_path / "src"))
+        view = _mk_view(spark, str(tmp_path / "view"))
+        ckpt = str(tmp_path / "ckpt")
+        src.merge(_chg(spark, [("a", 0, "x", 1, False)]), batch_id=0)
+        q = materialize(
+            spark, src.path, view, ckpt, group_cols=["conv_id"],
+            aggs=_aggs(), bootstrap_from=src,
+        )
+        try:
+            q.processAllAvailable()  # schema pinned pre-evolution
+            src.merge(
+                _chg(spark, [("b", 0, "yy", 2, False)]).withColumn(
+                    "lang", F.lit("en")
+                ),
+                batch_id=1,
+            )
+            with pytest.raises(Exception, match="schema evolved"):
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        # restart with an agg over the NEW column
+        aggs2 = dict(_aggs(), langs=F.count("lang"))
+        q2 = materialize(
+            spark, src.path, view, ckpt, group_cols=["conv_id"], aggs=aggs2
+        )
+        try:
+            q2.processAllAvailable()
+            got = {
+                r.conv_id: (r.n_turns, r.total_chars, r.langs)
+                for r in view.read().collect()
+            }
+            # only 'b' moved post-bootstrap, so only its row carries the
+            # evolved aggregate; 'a' keeps its bootstrap shape (null lang
+            # count until it next changes) — the staleness-not-wrongness
+            # contract
+            assert got["b"] == (1, 2, 1)
+            assert got["a"][:2] == (1, 1)
+        finally:
+            q2.stop()
+
+    def test_random_ops_converge(self, spark, tmp_path):
+        """Randomized op soup: seeded inserts/updates/deletes across
+        conversations, drained in irregular chunks (some while commits
+        keep landing — exercising the recompute-from-future path); at
+        quiescence the view must equal the full recompute."""
+        import random
+
+        from myzql_binlog_connector_spark.streaming.matview import materialize
+
+        rng = random.Random(20260818)
+        src = _mk_table(spark, str(tmp_path / "src"))
+        view = _mk_view(spark, str(tmp_path / "view"))
+        convs = [f"c{i}" for i in range(10)]
+        live: dict = {}
+        gtid = 0
+
+        def commit(batch_id):
+            nonlocal gtid
+            rows = []
+            for _ in range(rng.randint(1, 6)):
+                gtid += 1
+                c = rng.choice(convs)
+                t = rng.randint(0, 3)
+                if (c, t) in live and rng.random() < 0.3:
+                    rows.append((c, t, None, gtid, True))
+                    live.pop((c, t), None)
+                else:
+                    txt = f"t{gtid}" * rng.randint(1, 3)
+                    rows.append((c, t, txt, gtid, False))
+                    live[(c, t)] = txt
+            src.merge(_chg(spark, rows), batch_id=batch_id)
+
+        commit(0)
+        q = materialize(
+            spark, src.path, view, str(tmp_path / "ckpt"),
+            group_cols=["conv_id"], aggs=_aggs(), bootstrap_from=src,
+        )
+        try:
+            for b in range(1, 12):
+                commit(b)
+                if b % 3 == 0:  # drain only sometimes: multi-commit batches
+                    q.processAllAvailable()
+            q.processAllAvailable()
+            assert _view_state(view) == _expected(src)
+            # python-side oracle agrees too
+            want = {}
+            for (c, _t), txt in live.items():
+                n, ch = want.get(c, (0, 0))
+                want[c] = (n + 1, ch + len(txt))
+            assert _view_state(view) == want
+        finally:
+            q.stop()
+
     def test_validation(self, spark, tmp_path):
         from myzql_binlog_connector_spark.streaming.matview import materialize
 
