@@ -1020,8 +1020,19 @@ class BucketedLakeTable:
         order_cols = list(order_cols)
 
         m = self._read_manifest() if self.exists() else None
+        pre_layout = (self.n_buckets, list(self.bucket_cols))
         if m:
             self._sync_layout(m)
+        if bucket_stats is not None and (
+            self.n_buckets, list(self.bucket_cols)
+        ) != pre_layout:
+            # the caller hashed its stats with the handle's ENTRY-TIME
+            # layout; a rebucket/bucket_cols migration committed since
+            # (e.g. by the maintenance job between a long-lived applier's
+            # batches) makes that dirty set wrong — and new_files
+            # registration iterates the dirty set, so trusting it would
+            # silently drop the batch's files from the manifest.  Recompute.
+            bucket_stats = None
         old_schema_json = m["schema"] if m else None
 
         # --- schema evolution: diff incoming payload schema vs stored ------

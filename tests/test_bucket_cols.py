@@ -205,6 +205,42 @@ class TestRebucketMigration:
         assert len(grp.inputFiles()) <= max(len(fl) for fl in m["files"].values())
 
 
+class TestStaleStatsInvalidation:
+    def test_precomputed_stats_from_stale_layout_are_recomputed(
+        self, spark, tmp_path
+    ):
+        """The applier precomputes bucket_stats with its handle's
+        ENTRY-TIME bucket expr; if a maintenance job rebucketted (or
+        migrated bucket_cols) since, merge must recompute — trusting the
+        stale dirty set would register the batch's files under the wrong
+        buckets and silently lose rows."""
+        from myzql_binlog_connector_spark.plans.lake import BucketedLakeTable
+
+        path = str(tmp_path / "t")
+        writer = BucketedLakeTable(spark, path, ["conv_id", "turn_idx"], n_buckets=4)
+        _seed(spark, writer, n_convs=6)
+        # maintenance migrates layout from another handle
+        maint = BucketedLakeTable(spark, path, ["conv_id", "turn_idx"], n_buckets=4)
+        maint.rebucket(8, bucket_cols=["conv_id"])
+        # the stale writer precomputes stats with its OLD expr (applier
+        # pattern), then merges
+        batch = _mk_changes(
+            spark, [(f"c{i}", 1, f"upd{i}", 500, 9, False) for i in range(6)]
+        )
+        stale_stats = [
+            (r["b"], r["count"])
+            for r in batch.groupBy(writer.bucket_expr().alias("b")).count().collect()
+        ]
+        writer.merge(batch, batch_id=1, bucket_stats=stale_stats)
+        got = _rows(writer.read())
+        for i in range(6):
+            assert (f"c{i}", 1, f"upd{i}", 500) in got, f"c{i} row lost"
+        # layout adopted and group fetch sees the merged rows
+        assert writer.bucket_cols == ["conv_id"] and writer.n_buckets == 8
+        grp = writer.read(keys={"conv_id": "c3"})
+        assert ("c3", 1, "upd3", 500) in _rows(grp)
+
+
 class TestMaintenanceOnConvBuckets:
     def test_fold_and_compact_preserve_layout(self, spark, conv_table):
         _seed(spark, conv_table, n_convs=10)
