@@ -54,3 +54,30 @@ def test_no_interpreted_hof(spark, name):
     df = entry.queries()[name](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "lambdafunction" not in plan.lower(), name
+
+
+def test_aligned_merge_subset_bucket_cols_one_shuffle(spark):
+    """The aligned-write plan's load-bearing assumption with bucket_cols:
+    repartitioning on a SUBSET of the grouping keys must still satisfy the
+    LWW aggregate's ClusteredDistribution (equal full key ⇒ equal subset ⇒
+    same partition), so the merge keeps exactly ONE exchange.  If a Spark
+    upgrade ever stops recognizing subset satisfaction, this pins it."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", 0, "x", False, 1, 1, 1)],
+        "conv_id string, turn_idx bigint, text string, _deleted boolean, "
+        "_gtid bigint, _event_seq bigint, _event_row_index bigint",
+    )
+    row = F.struct(*[F.col(c) for c in df.columns])
+    ordc = F.struct(
+        F.col("_gtid"), F.col("_event_seq"), F.col("_event_row_index")
+    )
+    plan = (
+        df.repartition(8, F.col("conv_id"))
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.max_by(row, ordc).alias("_row"))
+        .select("_row.*")
+    )
+    s = plan._jdf.queryExecution().executedPlan().toString()
+    assert s.count("Exchange") == 1, s
