@@ -87,16 +87,24 @@ def minhash_signatures(
     exploded = shingle_rows(
         _spread(df.select(id_col, text_col), id_col), text_col, id_col, k=shingle_k
     )
+    # Per shingle row only the md5 + two fixed-width hex SUBSTRINGS are
+    # computed; the base-16→10 conversion is deferred past the min
+    # aggregate.  Equal-length lowercase hex compares lexicographically ==
+    # numerically (digits 0-9 < a-f in ASCII), so min(hex) is the hex of
+    # min(value) and conv runs once per (doc, hash) instead of once per
+    # (shingle row, hash) — conv is a string-walking BigInteger-style
+    # expression and dominated this stage's per-row cost at bench scale.
     cols = []
     for seed in range((n_hashes + 1) // 2):
         m = F.md5(F.concat(F.lit(f"{seed}:"), F.col("sh")))
-        cols.append(F.conv(F.substring(m, 1, 15), 16, 10).cast("long").alias(f"h_{2*seed}"))
+        cols.append(F.substring(m, 1, 15).alias(f"h_{2*seed}"))
         if 2 * seed + 1 < n_hashes:
-            cols.append(
-                F.conv(F.substring(m, 16, 15), 16, 10).cast("long").alias(f"h_{2*seed+1}")
-            )
+            cols.append(F.substring(m, 16, 15).alias(f"h_{2*seed+1}"))
     hashed = exploded.select(id_col, *cols)
-    aggs = [F.min(F.col(f"h_{i}")).alias(f"mh_{i}") for i in range(n_hashes)]
+    aggs = [
+        F.conv(F.min(F.col(f"h_{i}")), 16, 10).cast("long").alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
     return hashed.groupBy(id_col).agg(*aggs)
 
 
@@ -213,11 +221,15 @@ def minhash_dup_pairs(
         minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
     )
     n_bands = n_hashes // band_rows
-    # band key = concat of the band's r minhashes; the FULL signature rides
-    # along (n_hashes ints per band row — a few MB at corpus scale), so the
-    # agreement prefilter evaluates INSIDE the banding join output: no
-    # candidate-scale joins back against the signature frame, and the
-    # distinct() dedupes the ~100×-smaller prefiltered stream
+    # band key = the band's r minhashes THEMSELVES (long columns — equality
+    # of the (band, mh…r) tuple is exactly equality of the old
+    # "_"-concatenated string key, minus building 4 strings per signature
+    # and comparing strings across every one of the ~50M band-collision
+    # probes); the FULL signature rides along (n_hashes ints per band row —
+    # a few MB at corpus scale), so the agreement prefilter evaluates
+    # INSIDE the banding join output: no candidate-scale joins back against
+    # the signature frame, and the distinct() dedupes the ~100×-smaller
+    # prefiltered stream
     bands = sigs.select(
         id_col,
         *[F.col(f"mh_{i}") for i in range(n_hashes)],
@@ -226,32 +238,34 @@ def minhash_dup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col(f"mh_{b * band_rows + j}").cast("string")
-                                for j in range(band_rows)
-                            ],
-                        ).alias("mh"),
+                        *[
+                            F.col(f"mh_{b * band_rows + j}").alias(f"bk_{j}")
+                            for j in range(band_rows)
+                        ],
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("bm"),
-    ).select(id_col, *[f"mh_{i}" for i in range(n_hashes)], "bm.band", "bm.mh")
+    ).select(
+        id_col,
+        *[f"mh_{i}" for i in range(n_hashes)],
+        "bm.band",
+        *[f"bm.bk_{j}" for j in range(band_rows)],
+    )
     m = min_sig_agree(n_hashes, jaccard_threshold, band_rows)
     l, r = bands.alias("l"), bands.alias("r")
     agree = None
     for i in range(n_hashes):
         term = (F.col(f"l.mh_{i}") == F.col(f"r.mh_{i}")).cast("int")
         agree = term if agree is None else agree + term
+    join_cond = (F.col("l.band") == F.col("r.band")) & (
+        F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    )
+    for j in range(band_rows):
+        join_cond = join_cond & (F.col(f"l.bk_{j}") == F.col(f"r.bk_{j}"))
     cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.mh") == F.col("r.mh"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+        l.join(r, join_cond)
         .filter(agree >= F.lit(m))
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
@@ -420,6 +434,112 @@ def simhash_dup_pairs_sql(
 # ---------------------------------------------------------------------------
 
 
+def _doc_shingle_sets(docs, text_col: str, id_col: str, shingle_k: int):
+    """``(id, sids array<bigint>)`` — each doc's DISTINCT shingle ids, for
+    the broadcast verifier.
+
+    Fast path (``shingle_k`` ≤ 6): :func:`..text.normalize_text` output is
+    pure ASCII ``[a-z0-9 ]`` *by construction* (everything else is
+    replaced by a space before trimming), so a k-gram packs INJECTIVELY
+    into an int64 (big-endian bytes, zero-padded below k — padding can't
+    collide because no real byte is 0).  One ``mapInArrow`` computes every
+    doc's packed window values straight off the Arrow string buffer
+    (5 shift-or passes over the byte buffer for the whole batch), dedupes
+    per doc with a single composite ``np.unique``, and emits the list
+    column — NO explode, NO per-shingle hash, NO shuffle, and exact
+    (injective beats any hash).  The prior shape exploded one row per
+    character position, ran md5+conv per row, and paid a corpus-wide
+    ``collect_set`` shuffle.
+
+    Fallback (``shingle_k`` > 6, packing would overflow the composite
+    key): the explode + xxhash64 + collect_set shape — one shuffle,
+    collision probability ~|doc|²/2^65 per pair."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .text import normalize_text
+
+    if shingle_k > 6:
+        return (
+            shingle_rows(docs, text_col, id_col, k=shingle_k)
+            .select(id_col, F.xxhash64(F.col("sh")).alias("sid"))
+            .groupBy(id_col)
+            .agg(F.collect_set("sid").alias("sids"))
+        )
+
+    k = shingle_k
+    dtypes = dict(docs.dtypes)
+
+    def sids_fn(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0)
+            txt = rb.column(1)
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            bufs = txt.buffers()
+            off_dt = np.int64 if pa.types.is_large_string(txt.type) else np.int32
+            offs = np.frombuffer(
+                bufs[1], off_dt, count=n + 1,
+                offset=txt.offset * np.dtype(off_dt).itemsize,
+            ).astype(np.int64)
+            data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+            lens = np.diff(offs)
+            if data.size and int(data[offs[0]: offs[-1]].max(initial=0)) >= 128:
+                raise ValueError(
+                    "non-ASCII byte in normalized text — normalize_text "
+                    "guarantees [a-z0-9 ]; shingle packing is unsound here"
+                )
+            # windows of length k over the whole values buffer, packed
+            # big-endian: acc[p] = int of data[p : p + k]
+            if data.size >= k:
+                acc = np.zeros(data.size - k + 1, dtype=np.int64)
+                for j in range(k):
+                    acc = (acc << 8) | data[j : data.size - k + 1 + j]
+            else:
+                acc = np.empty(0, dtype=np.int64)
+            # docs long enough for real windows: positions
+            # offs[i] .. offs[i] + len_i - k
+            wcnt = np.where(lens >= k, lens - k + 1, 0)
+            total = int(wcnt.sum())
+            excl = np.concatenate(([0], np.cumsum(wcnt)[:-1]))
+            pos = np.repeat(offs[:-1] - excl, wcnt) + np.arange(total)
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), wcnt)
+            vals = acc[pos] if total else np.empty(0, np.int64)
+            # short docs (len < k, incl. empty): ONE whole-string shingle,
+            # zero-padded on the right — exactly substring(n, 1, k)'s clamp
+            sidx = np.nonzero(lens < k)[0]
+            if sidx.size:
+                v = np.zeros(sidx.size, dtype=np.int64)
+                so = offs[:-1][sidx]
+                sl = lens[sidx]
+                for j in range(k):
+                    have = j < sl
+                    idx = np.minimum(so + j, data.size - 1) if data.size else np.zeros(sidx.size, np.int64)
+                    b = np.where(have, data[idx] if data.size else 0, 0)
+                    v = (v << 8) | b
+                doc_of = np.concatenate((doc_of, sidx.astype(np.int64)))
+                vals = np.concatenate((vals, v))
+            # composite (doc, sid) dedupe in one sort: k ≤ 6 ⇒ sid < 2^48,
+            # batch doc index < 2^14 ⇒ the composite fits int64
+            comp = np.unique((doc_of << (8 * k)) | vals)
+            doc_u = comp >> (8 * k)
+            val_u = comp & ((np.int64(1) << (8 * k)) - 1)
+            counts = np.bincount(doc_u, minlength=n)
+            list_offs = np.concatenate(([0], np.cumsum(counts)))
+            sids = pa.ListArray.from_arrays(
+                pa.array(list_offs, pa.int32()),
+                pa.array(val_u, pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays([ids, sids], names=[id_col, "sids"])
+
+    return docs.select(
+        id_col, normalize_text(F.col(text_col)).alias("_n")
+    ).mapInArrow(sids_fn, f"{id_col} {dtypes[id_col]}, sids array<bigint>")
+
+
 def ngram_jaccard(
     df: DataFrame,
     pairs: DataFrame | None = None,
@@ -428,7 +548,7 @@ def ngram_jaccard(
     shingle_k: int = 5,
     threshold: float = 0.0,
     verify: str = "auto",
-    max_broadcast_shingles: int = 5_000_000,
+    max_broadcast_shingles: int = 30_000_000,
     release_first: bool = True,
 ) -> DataFrame:
     """Exact char-n-gram Jaccard for given candidate pairs (id_a, id_b).
@@ -454,10 +574,18 @@ def ngram_jaccard(
         (an upper bound on their distinct-shingle count — one cheap sum,
         no explode) is under the cap.
 
-    The broadcast verifier identifies shingles by their 60-bit md5 hash
-    (``h60``) instead of a join-interned id — one less shuffle; a same-doc
-    hash collision would perturb one pair's count with probability
-    ~|doc|²/2^61 (negligible; the ``rows`` path is collision-free).
+    The broadcast verifier identifies shingles by their 64-bit xxhash64
+    instead of a join-interned id — one less shuffle, and the hash value
+    never leaves the job so any injective-enough function qualifies (it
+    replaced the md5-derived ``h60``, which paid an md5 digest plus a
+    string base-conversion per shingle row for the same collision class);
+    a same-doc hash collision would perturb one pair's count with
+    probability ~|doc|²/2^65 (negligible; the ``rows`` path is
+    collision-free).  When the candidate docs' distinct-shingle vocabulary
+    is small enough for per-doc bitsets to fit a ≤64 MB broadcast, the
+    verifier switches to one AND+popcount per pair over packed bytes —
+    exact, and orders of magnitude less work per pair than set
+    intersection.
 
     Either way the division + rounding happens JVM-side (``F.round``), so
     results are bit-identical across strategies and to the DuckDB oracle.
@@ -488,69 +616,111 @@ def ngram_jaccard(
         import numpy as np
         import pandas as pd
 
-        # collect_set dedups map-side within ONE shuffle (vs the rows
-        # path's distinct + groupBy two-shuffle shape); sets are per-doc
-        # distinct, which the CSR verifier's assume_unique relies on
-        doc_sids = (
-            shingle_rows(docs, text_col, id_col, k=shingle_k)
-            .select(id_col, h60(F.col("sh")).alias("sid"))
-            .groupBy(id_col)
-            .agg(F.collect_set("sid").alias("sids"))
-        )
-        rows = doc_sids.collect()
-        counts = np.array([len(r[1]) for r in rows], dtype=np.int64)
-        offsets = np.concatenate(([0], np.cumsum(counts)[:-1])) if rows else np.empty(0, np.int64)
-        flat = (
-            np.concatenate([np.asarray(r[1], dtype=np.int64) for r in rows])
-            if rows
-            else np.empty(0, np.int64)
-        )
-        # densify ids so pair_idx * n_sid + sid composes into one int64 key
+        # Per-doc distinct shingle-id sets.  Arrow collect either way: the
+        # lists land as ONE ListArray (offsets + values buffer) instead of
+        # millions of Python ints — the row-based collect() deserialized
+        # every shingle hash as an object and dominated the verify stage
+        # at bench scale.
+        tbl = _doc_shingle_sets(docs, text_col, id_col, shingle_k).toArrow()
+        sids_col = tbl.column("sids").combine_chunks()
+        offs = np.asarray(sids_col.offsets, dtype=np.int64)
+        counts = np.diff(offs)
+        flat = np.asarray(sids_col.flatten(), dtype=np.int64)
+        offsets = offs[:-1]
+        # densify ids so composite keys / bitset columns stay compact
         uniq, inv = np.unique(flat, return_inverse=True)
         flat_dense = inv.astype(np.int64)
         n_sid = max(1, int(uniq.size))
-        id2row = {r[0]: i for i, r in enumerate(rows)}
-        bc = spark.sparkContext.broadcast((id2row, offsets, counts, flat_dense, n_sid))
+        n_docs = len(counts)
+        id2row = {v: i for i, v in enumerate(tbl.column(id_col).to_pylist())}
         dtypes = dict(pairs.dtypes)
         out_schema = (
             f"id_a {dtypes['id_a']}, id_b {dtypes['id_b']}, i bigint, u bigint"
         )
 
-        def verify_fn(batches):
-            id2row_, offsets_, counts_, flat_, n_sid_ = bc.value
+        # Small-vocabulary fast path: when the candidate docs draw their
+        # shingles from few enough distinct values that per-doc BITSETS fit
+        # a modest broadcast, |A∩B| is one AND + popcount over packed bytes
+        # per pair — no sorting, no composite-key materialization.  Exact:
+        # the bitset of a distinct-hash set loses nothing.  (Boilerplate-
+        # heavy corpora — exactly the ones that flood LSH with candidates —
+        # are also the ones with small shingle vocabularies, so the dense
+        # path tends to fire precisely when the pair count explodes.)
+        packed_width = (n_sid + 7) // 8
+        if n_docs * packed_width <= 64 << 20:
+            dense = np.zeros((n_docs, n_sid), dtype=bool)
+            dense[np.repeat(np.arange(n_docs), counts), flat_dense] = True
+            bits = np.packbits(dense, axis=1)
+            del dense
+            bc = spark.sparkContext.broadcast((id2row, counts, bits))
 
-            def gather_keys(rowidx, cnts):
-                # composite key pair_idx * n_sid + sid for every shingle of
-                # every pair-side doc — one flat gather, no per-pair loop
-                total = int(cnts.sum())
-                excl = np.concatenate(([0], np.cumsum(cnts)[:-1]))
-                idx = np.repeat(offsets_[rowidx] - excl, cnts) + np.arange(total)
-                pair_of = np.repeat(np.arange(cnts.size, dtype=np.int64), cnts)
-                return pair_of * n_sid_ + flat_[idx]
-
-            for pdf in batches:
-                ra = pdf["id_a"].map(id2row_)
-                rb = pdf["id_b"].map(id2row_)
-                ok = ra.notna() & rb.notna()
-                kept = pdf.loc[ok]
-                ra = ra[ok].to_numpy(dtype=np.int64)
-                rb = rb[ok].to_numpy(dtype=np.int64)
-                n_pairs = ra.size
-                if n_pairs == 0:
+            def verify_fn(batches):
+                id2row_, counts_, bits_ = bc.value
+                pop = np.unpackbits(
+                    np.arange(256, dtype=np.uint8)[:, None], axis=1
+                ).sum(axis=1).astype(np.int64)
+                for pdf in batches:
+                    ra = pdf["id_a"].map(id2row_)
+                    rb = pdf["id_b"].map(id2row_)
+                    ok = ra.notna() & rb.notna()
+                    kept = pdf.loc[ok]
+                    ra = ra[ok].to_numpy(dtype=np.int64)
+                    rb = rb[ok].to_numpy(dtype=np.int64)
+                    if ra.size == 0:
+                        yield pd.DataFrame(
+                            {"id_a": kept["id_a"], "id_b": kept["id_b"],
+                             "i": np.empty(0, np.int64), "u": np.empty(0, np.int64)}
+                        )
+                        continue
+                    i = pop[bits_[ra] & bits_[rb]].sum(axis=1)
+                    na, nb = counts_[ra], counts_[rb]
                     yield pd.DataFrame(
-                        {"id_a": kept["id_a"], "id_b": kept["id_b"],
-                         "i": np.empty(0, np.int64), "u": np.empty(0, np.int64)}
+                        {"id_a": kept["id_a"].to_numpy(),
+                         "id_b": kept["id_b"].to_numpy(),
+                         "i": i, "u": na + nb - i}
                     )
-                    continue
-                na, nb = counts_[ra], counts_[rb]
-                common = np.intersect1d(
-                    gather_keys(ra, na), gather_keys(rb, nb), assume_unique=True
-                )
-                i = np.bincount(common // n_sid_, minlength=n_pairs).astype(np.int64)
-                yield pd.DataFrame(
-                    {"id_a": kept["id_a"].to_numpy(), "id_b": kept["id_b"].to_numpy(),
-                     "i": i, "u": na + nb - i}
-                )
+
+        else:
+            bc = spark.sparkContext.broadcast(
+                (id2row, offsets, counts, flat_dense, n_sid)
+            )
+
+            def verify_fn(batches):
+                id2row_, offsets_, counts_, flat_, n_sid_ = bc.value
+
+                def gather_keys(rowidx, cnts):
+                    # composite key pair_idx * n_sid + sid for every shingle
+                    # of every pair-side doc — one flat gather, no per-pair
+                    # loop
+                    total = int(cnts.sum())
+                    excl = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+                    idx = np.repeat(offsets_[rowidx] - excl, cnts) + np.arange(total)
+                    pair_of = np.repeat(np.arange(cnts.size, dtype=np.int64), cnts)
+                    return pair_of * n_sid_ + flat_[idx]
+
+                for pdf in batches:
+                    ra = pdf["id_a"].map(id2row_)
+                    rb = pdf["id_b"].map(id2row_)
+                    ok = ra.notna() & rb.notna()
+                    kept = pdf.loc[ok]
+                    ra = ra[ok].to_numpy(dtype=np.int64)
+                    rb = rb[ok].to_numpy(dtype=np.int64)
+                    n_pairs = ra.size
+                    if n_pairs == 0:
+                        yield pd.DataFrame(
+                            {"id_a": kept["id_a"], "id_b": kept["id_b"],
+                             "i": np.empty(0, np.int64), "u": np.empty(0, np.int64)}
+                        )
+                        continue
+                    na, nb = counts_[ra], counts_[rb]
+                    common = np.intersect1d(
+                        gather_keys(ra, na), gather_keys(rb, nb), assume_unique=True
+                    )
+                    i = np.bincount(common // n_sid_, minlength=n_pairs).astype(np.int64)
+                    yield pd.DataFrame(
+                        {"id_a": kept["id_a"].to_numpy(), "id_b": kept["id_b"].to_numpy(),
+                         "i": i, "u": na + nb - i}
+                    )
 
         # AQE coalesces the small candidate shuffle (~bytes, not compute)
         # into very few partitions, which would serialize the verify UDF —

@@ -439,24 +439,41 @@ def _kmeans_centroids(corpus, stride, id_col, vec_col, dims):
     tie-breaks, means rounded to 6 dp (cell populations are small, so
     cross-engine float-sum-order differences sit ~1e-15, far below the
     rounding grid); empty cells drop out."""
-    samp_stride = max(1, stride // KMEANS_OVERSAMPLE)
-    spark = corpus.sparkSession
-    strided = corpus.filter((F.col(id_col) % samp_stride) == 0).select(
-        id_col, vec_col
+    cids, C, cnrm = _kmeans_centroids_np(corpus, stride, id_col, vec_col, dims)
+    return corpus.sparkSession.createDataFrame(
+        [
+            (int(cid), [float(x) for x in vec], float(nr))
+            for cid, vec, nr in zip(cids, C, cnrm)
+        ],
+        "_cid bigint, _cvec array<double>, _cnrm double",
     )
-    n_sample = strided.count()
-    if n_sample > KMEANS_TRAIN_CAP:
+
+
+def _kmeans_centroids_np(corpus, stride, id_col, vec_col, dims):
+    """Numpy form of :func:`_kmeans_centroids`: ``(cids, C, cnrm)`` with
+    ``cids`` ascending (argmax over cid-ascending columns == the oracle's
+    smallest-cid tie-break).  ONE Spark job: the strided training sample
+    and the strided seeds are collected together (their union filter) and
+    split driver-side — the prior count() + collect() + collect() trio
+    scanned the corpus three times for the same rows."""
+    samp_stride = max(1, stride // KMEANS_OVERSAMPLE)
+    both = (
+        corpus.filter(
+            ((F.col(id_col) % samp_stride) == 0)
+            | ((F.col(id_col) % stride) == 0)
+        )
+        .select(id_col, vec_col)
+        .collect()
+    )
+    sample = [r for r in both if int(r[0]) % samp_stride == 0]
+    if len(sample) > KMEANS_TRAIN_CAP:
         raise ValueError(
-            f"k-means training sample is {n_sample} rows (> cap "
+            f"k-means training sample is {len(sample)} rows (> cap "
             f"{KMEANS_TRAIN_CAP}); raise `stride` so corpus/"
             f"{samp_stride} fits the driver-side trainer"
         )
-    sample = strided.collect()
     seeds = sorted(
-        corpus.filter((F.col(id_col) % stride) == 0)
-        .select(id_col, vec_col)
-        .collect(),
-        key=lambda r: r[0],
+        (r for r in both if int(r[0]) % stride == 0), key=lambda r: r[0]
     )
     S = np.array([list(r[1]) for r in sample], dtype=np.float64)
     snrm = np.sqrt(_seq_rowdot(S, S))
@@ -481,12 +498,70 @@ def _kmeans_centroids(corpus, stride, id_col, vec_col, dims):
         cids = new_cids
         C = np.asarray(new_C, dtype=np.float64)
     cnrm = np.sqrt(_seq_rowdot(C, C))
-    return spark.createDataFrame(
-        [
-            (int(cid), [float(x) for x in vec], float(nr))
-            for cid, vec, nr in zip(cids, C, cnrm)
-        ],
-        "_cid bigint, _cvec array<double>, _cnrm double",
+    return np.asarray(cids, dtype=np.int64), C, cnrm
+
+
+def _round4(x):
+    """Vectorized round-half-away-from-zero to 4 decimals — the tie
+    behavior of both Spark's ``F.round`` (BigDecimal HALF_UP) and DuckDB's
+    ``round``, unlike ``np.round`` (half-even).  Ties live on the 5th
+    decimal, where cosine similarities land with probability ~0; this
+    keeps even that corner aligned."""
+    return np.copysign(np.floor(np.abs(x) * 1e4 + 0.5), x) / 1e4
+
+
+def _assign_cells(corpus, cids, C, cnrm, id_col, vec_col, dims):
+    """Per-vector IVF cell assignment as ONE ``mapInArrow`` pass:
+    ``(id, vec, _vnrm, _cell)`` with ``_cell`` = argmax-cosine centroid
+    (sims rounded to 4 dp, ties to the smallest cid).
+
+    Replaces the round-5 broadcast-join + ``max_by`` shape, which
+    materialized an N×K joined stage (every vector paired with every
+    centroid, both carrying their float arrays through the Python
+    ``arrow_udf`` boundary) and then shuffled N×K struct rows into the
+    per-vector aggregate — at the sf1.0 bench geometry (20k × 200) that
+    was 4M vector-carrying rows for 20k assignments.  Here the centroid
+    matrix is a broadcast constant, each Arrow batch computes its own
+    (batch × K) sim block with the same in-order dimension fold, and the
+    corpus is scanned exactly once with NO shuffle and NO per-pair rows
+    (guide: shuffle removal + batch-native UDF work).  ``cids`` must be
+    ascending so ``argmax``'s first-max == smallest-cid tie-break — the
+    exact ``max_by(struct(_csim, -_cid))`` semantics it replaces."""
+    assert (np.diff(cids) > 0).all() if len(cids) > 1 else True
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (np.asarray(cids, np.int64), C, cnrm)
+    )
+    dtypes = dict(corpus.dtypes)
+
+    def assign(batches):
+        cids_, C_, cnrm_ = bc.value
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(rb.schema.get_field_index(id_col))
+            vecs = rb.column(rb.schema.get_field_index(vec_col))
+            V = _mat_arrow(vecs, dims)
+            vnrm = np.sqrt(_seq_rowdot(V, V))
+            acc = np.zeros((n, C_.shape[0]), dtype=np.float64)
+            for j in range(dims):  # in-order fold — bit-identical to dot()
+                acc = acc + V[:, j, None] * C_[None, :, j]
+            sims = _round4(acc / (vnrm[:, None] * cnrm_[None, :]))
+            cell = cids_[np.argmax(sims, axis=1)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    vecs,
+                    pa.array(vnrm, type=pa.float64()),
+                    pa.array(cell, type=pa.int64()),
+                ],
+                names=[id_col, vec_col, "_vnrm", "_cell"],
+            )
+
+    return corpus.select(id_col, vec_col).mapInArrow(
+        assign,
+        f"{id_col} {dtypes[id_col]}, {vec_col} {dtypes[vec_col]}, "
+        f"_vnrm double, _cell bigint",
     )
 
 
@@ -502,22 +577,11 @@ def ivf_cell_stats(
     it replaced risked arbitrarily skewed cells at 10^9 vectors).  The
     collect is bounded at one row per CELL (corpus/stride), never per
     vector."""
-    cents = _kmeans_centroids(corpus, stride, id_col, vec_col, dims)
-    c = corpus.withColumn("_vnrm", norm_arrow(F.col(vec_col), dims))
-    sim_c = F.round(
-        dot_arrow(F.col(vec_col), F.col("_cvec"), dims)
-        / (F.col("_vnrm") * F.col("_cnrm")),
-        4,
-    )
-    scored = c.join(F.broadcast(cents)).select(
-        id_col, F.col("_cid"), sim_c.alias("_csim")
-    )
-    best = F.max_by(F.col("_cid"), F.struct(F.col("_csim"), -F.col("_cid")))
+    cids, C, cnrm = _kmeans_centroids_np(corpus, stride, id_col, vec_col, dims)
+    assigned = _assign_cells(corpus, cids, C, cnrm, id_col, vec_col, dims)
     sizes = sorted(
         r.n
-        for r in scored.groupBy(id_col)
-        .agg(best.alias("_cell"))
-        .groupBy("_cell")
+        for r in assigned.groupBy("_cell")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
@@ -550,34 +614,28 @@ def ann_topk_ivf(
     ``nprobe`` nearest cells per probe.
 
     Scale shape at 10^9 vectors: centroids are tiny and broadcast; the
-    assignment pass is one broadcast join + max_by hash aggregate (one row
-    per vector, map-side combinable — never a window over N×K rows); the
-    probe search joins only the selected cells (≈ nprobe/K of the corpus).
-    Similarities are rounded before ranking with id tie-breaks, so results
-    are stable across engines and float summation orders; norms are
-    projected per side before every join, so each joined stage computes
-    one Arrow-batched dot per pair."""
-    cents = _kmeans_centroids(corpus, stride, id_col, vec_col, dims)
+    assignment pass is ONE ``mapInArrow`` scan of the corpus — each Arrow
+    batch computes its own (batch × K) sim block against the broadcast
+    centroid matrix and emits one assigned row per vector, so no N×K
+    joined rows ever exist and the corpus never shuffles (this replaced a
+    broadcast-join + max_by shape that materialized N×K vector-carrying
+    rows; see :func:`_assign_cells`); the probe search broadcast-joins
+    only the selected cells (≈ nprobe/K of the corpus).  Similarities are
+    rounded before ranking with id tie-breaks, so results are stable
+    across engines and float summation orders; norms are projected per
+    side before every join, so each joined stage computes one
+    Arrow-batched dot per pair."""
+    cids, C, cnrm = _kmeans_centroids_np(corpus, stride, id_col, vec_col, dims)
+    cents = corpus.sparkSession.createDataFrame(
+        [
+            (int(cid), [float(x) for x in vec], float(nr))
+            for cid, vec, nr in zip(cids, C, cnrm)
+        ],
+        "_cid bigint, _cvec array<double>, _cnrm double",
+    )
 
-    # cell assignment: argmax centroid per vector (norms precomputed per
-    # side — the N×K joined stage computes one Arrow-batched dot per pair)
-    c = corpus.withColumn("_vnrm", norm_arrow(F.col(vec_col), dims))
-    sim_c = F.round(
-        dot_arrow(F.col(vec_col), F.col("_cvec"), dims)
-        / (F.col("_vnrm") * F.col("_cnrm")),
-        4,
-    )
-    scored = c.join(F.broadcast(cents)).select(
-        id_col, vec_col, "_vnrm", "_cid", sim_c.alias("_csim")
-    )
-    row = F.struct(F.col(id_col), F.col(vec_col), F.col("_vnrm"), F.col("_cid"))
-    best = F.max_by(row, F.struct(F.col("_csim"), -F.col("_cid")))
-    assigned = scored.groupBy(id_col).agg(best.alias("_r")).select(
-        F.col(f"_r.{id_col}").alias(id_col),
-        F.col(f"_r.{vec_col}").alias(vec_col),
-        F.col("_r._vnrm").alias("_vnrm"),
-        F.col("_r._cid").alias("_cell"),
-    )
+    # cell assignment: argmax centroid per vector, one shuffle-free scan
+    assigned = _assign_cells(corpus, cids, C, cnrm, id_col, vec_col, dims)
 
     # nprobe nearest cells per probe
     p = probes.select(
@@ -600,7 +658,11 @@ def ann_topk_ivf(
         .select(probe_id_col, "_pvec", "_pnrm", F.col("_cid").alias("_cell"))
     )
 
-    cand = probe_cells.join(assigned, "_cell").filter(
+    # broadcast the (≤ nprobe × |probes|)-row probe-cell frame: the
+    # assigned corpus is the big side and must not shuffle on _cell (its
+    # post-mapInArrow size estimate is unknown to Catalyst, which would
+    # otherwise pick a sort-merge join here)
+    cand = F.broadcast(probe_cells).join(assigned, "_cell").filter(
         F.col(id_col) != F.col(probe_id_col)
     )
     sim = F.round(
