@@ -30,8 +30,9 @@ Delta CDF ``startingVersion``-style escape hatch).
 
 Scale shape: the driver only lists commits (KB-sized manifest JSON reads
 plus one getsize() per delta file); each micro-batch fans Arrow-native
-``read()`` tasks sized by a byte budget (``chunkBytes``, default 128 MB —
-see ``_plan_commits`` for the measured granularity trade-off), and each
+``read()`` tasks sized by a byte budget (``chunkBytes``; the default
+adapts to the planned volume so a catch-up drain fills every core — see
+``_plan_commits`` for the measured granularity trade-off), and each
 task streams its delta-file slice as RecordBatches — no
 driver-side row handling, no Python row loop (Spark's Python data source
 Arrow path keeps batches columnar end to end).
@@ -125,13 +126,34 @@ class _CommitPartition(InputPartition):
 
 DEFAULT_CHUNK_BYTES = 128 << 20  # spark.sql.files.maxPartitionBytes default
 
+#: smallest adaptive chunk — below this, Python-source task overhead
+#: (~25-50 ms each) stops amortizing (the same measurement that ruled out
+#: file-granular planning; see _plan_commits)
+MIN_CHUNK_BYTES = 16 << 20
+
+
+def _target_parallelism() -> int:
+    """Task-count floor for adaptive chunk sizing.  ``SPARK_GRAFT_CPUS``
+    is this repo's documented core-count contract (bench.py masters on
+    it); absent that, the local core count — in local mode (where the
+    floor matters: small backlogs, one box) it IS the parallelism, and on
+    a real cluster the floor is quickly irrelevant because any
+    hundreds-of-GB backlog exceeds it at the 128 MB cap anyway."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
 
 def _plan_commits(
     path: str,
     s: int,
     e: int,
     allow_gaps: bool,
-    chunk_bytes: int = DEFAULT_CHUNK_BYTES,
+    chunk_bytes: int | None = None,
     query_schema: StructType | None = None,
 ) -> "list[_CommitPartition]":
     """Size-budgeted partitions over the delta files of each change-data
@@ -191,15 +213,39 @@ def _plan_commits(
     # AND — for a consumer further behind than the window — the older
     # retained versions via their own manifests; skips compaction/
     # rebucket/watermark-only commits (no change data)
-    parts: list[_CommitPartition] = []
+    commits = []
+    total = 0
     for v, files in iter_commit_deltas(path, s + 1, e, m):
-        chunk: list[str] = []
-        size = 0
+        sized = []
         for f in files:
             try:
-                fs = os.path.getsize(f)
+                fsz = os.path.getsize(f)
             except OSError:
-                fs = chunk_bytes  # unknown size: isolate it
+                fsz = None  # unknown size: isolate it below
+            else:
+                total += fsz
+            sized.append((f, fsz))
+        commits.append((v, sized))
+    if chunk_bytes is None:
+        # Adaptive default (scale-adaptive partitioning): the 128 MB cap
+        # is right for a 100 TB backlog, but a multi-commit CATCH-UP drain
+        # of a few hundred MB would plan only a handful of partitions and
+        # leave most cores idle through the feed read AND every downstream
+        # map-side stage (the replica's LWW partial aggregate inherited a
+        # 4-partition feed at bench scale — 4 of 32 cores).  Aim for at
+        # least ~one chunk per core, floored so Python-source task
+        # overhead keeps amortizing; an explicit chunkBytes option still
+        # wins unconditionally.
+        chunk_bytes = min(
+            DEFAULT_CHUNK_BYTES,
+            max(MIN_CHUNK_BYTES, total // _target_parallelism()),
+        )
+    parts: list[_CommitPartition] = []
+    for v, sized in commits:
+        chunk: list[str] = []
+        size = 0
+        for f, fsz in sized:
+            fs = chunk_bytes if fsz is None else fsz
             if chunk and size + fs > chunk_bytes:
                 parts.append(
                     _CommitPartition(
@@ -262,8 +308,8 @@ class LakeChangesDataSource(DataSource):
     Options: ``path`` (required, table root), ``startingVersion``
     (int, default 1, or ``latest``), ``maxVersionsPerBatch`` (int rate
     limit on commits per micro-batch), ``allowGaps`` (bool, default
-    false), ``chunkBytes`` (per-task byte budget for delta-file reads,
-    default 128 MB)."""
+    false), ``chunkBytes`` (per-task byte budget for delta-file reads;
+    default adapts to the planned volume — see ``_plan_commits``)."""
 
     @classmethod
     def name(cls) -> str:
@@ -314,9 +360,8 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         )
         mvb = options.get("maxversionsperbatch")
         self.max_versions = int(mvb) if mvb else None
-        self.chunk_bytes = int(
-            options.get("chunkbytes", DEFAULT_CHUNK_BYTES)
-        )
+        cb = options.get("chunkbytes")
+        self.chunk_bytes = int(cb) if cb else None  # None: adaptive
         # driver-side rate-limit floor: the end of the last planned batch.
         # Seeding (measured against Spark 4.1's call order, which invokes
         # latestOffset BEFORE initialOffset on a fresh query): a fresh
@@ -385,9 +430,8 @@ class LakeChangesBatchReader(DataSourceReader):
         self.allow_gaps = (
             str(options.get("allowgaps", "false")).lower() == "true"
         )
-        self.chunk_bytes = int(
-            options.get("chunkbytes", DEFAULT_CHUNK_BYTES)
-        )
+        cb = options.get("chunkbytes")
+        self.chunk_bytes = int(cb) if cb else None  # None: adaptive
 
     def partitions(self):
         end = self.ending if self.ending is not None else _head_version(self.path)
