@@ -23,11 +23,17 @@ from pyspark.sql import Column, functions as F
 def normalize_text(col: Column) -> Column:
     """lower → strip non-[a-z0-9 ] → collapse whitespace → trim.
     SQL mirror: trim(regexp_replace(regexp_replace(lower(x),
-    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"""
-    c = F.lower(col)
-    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
-    c = F.regexp_replace(c, " +", " ")
-    return F.trim(c)
+    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+
+    Computed as ONE regex pass: replacing every maximal run of
+    ``[^a-z0-9]`` (bad chars AND spaces together) with a single space is
+    exactly the composition of the mirror's two passes — pass 1 maps each
+    bad char to a space, pass 2 collapses the resulting space runs, so
+    any maximal (bad ∪ space) run ends as one space either way.  Halves
+    the per-row regex/string-building cost of every operator built on
+    this (shingles, tokens, fingerprints, language ID); the SQL mirror
+    keeps the two-pass spelling because the oracle text is frozen."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
 
 
 def tokens(col: Column) -> Column:
@@ -91,10 +97,10 @@ def decontaminate(
     substring, pure codegen; the source is repartitioned when it arrives
     in fewer files than cores, or the broadcast semi-join would leave the
     whole pass in one task), the benchmark's distinct shingle HASHES on
-    the other side of a LEFT SEMI equi-join — eval sets are small, and
-    joining on the 60-bit md5 hash instead of the raw 40-char shingle
-    cuts the broadcast ~5×; a contaminated-id semi/anti join back onto
-    the docs frame finishes it.  ``keep="clean"`` returns the
+    the other side of a broadcast LEFT SEMI equi-join — eval sets are
+    small, and joining on a 64-bit hash instead of the raw 40-char
+    shingle cuts the broadcast ~5×; a contaminated-id semi/anti join back
+    onto the docs frame finishes it.  ``keep="clean"`` returns the
     decontaminated corpus, ``keep="contaminated"`` the flagged docs (for
     auditing)."""
     bt = bench_text_col or text_col
@@ -106,19 +112,30 @@ def decontaminate(
         n_in = 0
     if 0 < n_in < sc.defaultParallelism:
         src = src.repartition(sc.defaultParallelism, id_col)
+    # xxhash64 as the shingle identity: the hash value never leaves this
+    # job (both sides of the semi-join compute the same function, and the
+    # output is a membership decision), so any injective-enough function
+    # qualifies — the md5+conv h60 it replaces cost far more per row for
+    # the same collision class (~2^-64 per distinct-shingle pair here)
     doc_sh = shingle_rows(src, text_col, id_col, k=k).select(
-        id_col, h60(F.col("sh")).alias("__h__")
+        id_col, F.xxhash64(F.col("sh")).alias("__h__")
     )
     bench = benchmark.select(
         F.monotonically_increasing_id().alias("__bid__"), F.col(bt)
     )
     bench_sh = (
         shingle_rows(bench, bt, "__bid__", k=k)
-        .select(h60(F.col("sh")).alias("__h__"))
+        .select(F.xxhash64(F.col("sh")).alias("__h__"))
         .distinct()
     )
+    # eval sets are small by contract (module docstring) — pin the
+    # broadcast so the corpus-sized shingle stream is NEVER shuffled for
+    # the semi-join (Catalyst can't estimate the post-shingle size and
+    # falls back to a sort-merge join, shuffling every (doc, hash) row)
     hit_ids = (
-        doc_sh.join(bench_sh, "__h__", "left_semi").select(id_col).distinct()
+        doc_sh.join(F.broadcast(bench_sh), "__h__", "left_semi")
+        .select(id_col)
+        .distinct()
     )
     how = "left_anti" if keep == "clean" else "left_semi"
     return docs.join(hit_ids, id_col, how)

@@ -228,7 +228,7 @@ class BucketedLakeTable:
         key_cols: list[str],
         n_buckets: int = 64,
         max_files_per_bucket: int = 8,
-        aligned_writes: bool = False,
+        aligned_writes: bool = True,
         hot_bucket_split_rows: int = 1 << 18,
         codec: str = "snappy",
         auto_fold: bool = True,
@@ -275,10 +275,13 @@ class BucketedLakeTable:
         # keys into exactly n_buckets partitions (Murmur3 pmod n_buckets ==
         # the bucket function, so partition i IS bucket i and the
         # partitionBy write needs no second shuffle).  On a real cluster
-        # this halves merge network traffic; on a single shared-memory box
-        # the second shuffle is nearly free at high core counts, so the
-        # default keeps the two-shuffle plan (which also lets AQE pick the
-        # reduce parallelism independently of the bucket count).
+        # this halves merge network traffic; default ON since round 8 —
+        # a paired same-window A/B of the flagship 3.2M-row merge at
+        # local[32] had the one-shuffle plan ahead in every trial
+        # (−13/−38/−21%), so the old "second shuffle is nearly free on a
+        # shared-memory box" rationale no longer held.  Small batches
+        # (< n_buckets×512 rows) and hot-bucket batches still take the
+        # two-shuffle path via the `aligned` gate in merge().
         self.aligned_writes = aligned_writes
         # auto_fold=False defers the inline fold (the one O(bucket-history)
         # step a merge can take — the round-6 endurance run measured it at
