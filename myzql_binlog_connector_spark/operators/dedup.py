@@ -20,14 +20,26 @@ def lww_dedup(
     key_cols: list[str],
     order_cols: list[str] = list(DEFAULT_ORDER),
 ) -> DataFrame:
-    """Keep exactly the last writer per key: one ranking window, one shuffle
-    on the key columns (map-side nothing to combine — row_number needs full
-    key locality)."""
-    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in order_cols])
+    """Keep exactly the last writer per key: a ``max_by`` hash aggregate
+    (the same shape the lake's merge-on-read ``_lww`` uses).
+
+    Round 8: replaced the ranking-window form — a window must shuffle and
+    SORT every input row inside each key partition, while the aggregate
+    pre-reduces map-side to one candidate row per (key, partition) before
+    the exchange, so the shuffle carries ~|keys| rows instead of |input|
+    and nothing is ever sorted (guide: aggregate before you shuffle).
+    Identical output whenever the order-column tuple is unique per key
+    (the CDC contract — (gtid, event_seq, event_row_index) is a total
+    order); exact ties were winner-arbitrary under the window sort too.
+    Hot keys also stop mattering: partial aggregation bounds any one
+    task's state at one row per key, where the window packed a viral
+    key's every row into one task."""
+    row = F.struct(*[F.col(c) for c in df.columns])
+    ordc = F.struct(*[F.col(c) for c in order_cols])
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        df.groupBy(*key_cols)
+        .agg(F.max_by(row, ordc).alias("_row"))
+        .select("_row.*")
     )
 
 
@@ -39,12 +51,17 @@ def lww_dedup_salted(
 ) -> DataFrame:
     """Two-phase LWW for skewed keys.
 
-    Phase 1 partitions by (key, salt_bucket) — a hot key's rows spread over
-    ``salt`` tasks, each keeping one local winner.  Phase 2 ranks the ≤salt
-    winners per key.  The salt is derived from the order columns so it is
-    deterministic and result-invariant (verified by tests against
-    :func:`lww_dedup`).  At 10^10 events with a few viral conversations this
-    bounds the largest window partition by a factor of ``salt``.
+    Phase 1 partitions by (key, salt_bucket) — a hot key's rows spread
+    over ``salt`` tasks, each keeping one local winner (ranking window:
+    an A/B against a phase-1 ``max_by`` aggregate showed the aggregate
+    form consistently SLOWER here — the two-level struct rebuild defeats
+    Catalyst's nested-column pruning, while the window sorts once and
+    keeps columns flat).  Phase 2 resolves the ≤salt winners per key via
+    :func:`lww_dedup`'s max_by aggregate.  The salt is derived from the
+    order columns so it is deterministic and result-invariant (verified
+    by tests against :func:`lww_dedup`).  At 10^10 events with a few
+    viral conversations this bounds the largest window partition by a
+    factor of ``salt``.
     """
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt))

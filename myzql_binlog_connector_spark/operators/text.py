@@ -78,6 +78,105 @@ def shingle_rows(df, text_col: str, id_col: str, k: int = 5):
     )
 
 
+def shingle_hash_rows(df, text_col: str, id_col: str, k: int):
+    """(id, __h__) rows — 64-bit rolling-hash ids of each document's
+    char-``k``-gram shingles over normalized text, per-doc distinct.
+
+    One ``mapInArrow`` pass: normalization stays a JVM expression, then
+    each Arrow batch computes every window hash straight off the string
+    values buffer with a Horner scan (k shift-multiply passes over the
+    whole batch's bytes — no explode, no k-char substring materialization,
+    no per-shingle hash expression).  For ``k=40`` the exploded form built
+    ~40 bytes of string per input byte before hashing it; here no shingle
+    string ever exists.  The hash identity never leaves the job (both
+    sides of any join compute the same function), so Rabin-Karp-style
+    mixing is enough; collisions ~|A|·|B|/2^64, the same class the
+    xxhash64 form carried.  Normalized text is pure ASCII by construction
+    (see :func:`normalize_text`), so byte windows == character windows;
+    documents shorter than ``k`` contribute one whole-string hash
+    (matching ``substring``'s clamp in :func:`shingle_rows`)."""
+    import numpy as np
+    import pyarrow as pa
+
+    B = np.int64(1099511628211)  # FNV64 prime — odd, mixes well mod 2^64
+    dtypes = dict(df.dtypes)
+
+    def hash_fn(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0)
+            txt = rb.column(1)
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            bufs = txt.buffers()
+            off_dt = (
+                np.int64 if pa.types.is_large_string(txt.type) else np.int32
+            )
+            offs = np.frombuffer(
+                bufs[1], off_dt, count=n + 1,
+                offset=txt.offset * np.dtype(off_dt).itemsize,
+            ).astype(np.int64)
+            data = (
+                np.frombuffer(bufs[2], np.uint8)
+                if bufs[2] is not None
+                else np.empty(0, np.uint8)
+            )
+            lens = np.diff(offs)
+            if data.size and int(data[offs[0]: offs[-1]].max(initial=0)) >= 128:
+                raise ValueError(
+                    "non-ASCII byte in normalized text — normalize_text "
+                    "guarantees [a-z0-9 ]; byte-window hashing is unsound"
+                )
+            if data.size >= k:
+                acc = np.zeros(data.size - k + 1, dtype=np.int64)
+                d64 = data.astype(np.int64)
+                for j in range(k):
+                    acc = acc * B + d64[j : data.size - k + 1 + j]
+            else:
+                acc = np.empty(0, dtype=np.int64)
+            wcnt = np.where(lens >= k, lens - k + 1, 0)
+            total = int(wcnt.sum())
+            excl = np.concatenate(([0], np.cumsum(wcnt)[:-1]))
+            pos = np.repeat(offs[:-1] - excl, wcnt) + np.arange(total)
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), wcnt)
+            vals = acc[pos] if total else np.empty(0, np.int64)
+            sidx = np.nonzero(lens < k)[0]
+            if sidx.size:
+                v = np.zeros(sidx.size, dtype=np.int64)
+                so = offs[:-1][sidx]
+                sl = lens[sidx]
+                for j in range(k):
+                    have = j < sl
+                    if data.size:
+                        idx = np.minimum(so + j, data.size - 1)
+                        b = np.where(have, data[idx].astype(np.int64), 0)
+                    else:
+                        b = np.zeros(sidx.size, np.int64)
+                    v = np.where(have, v * B + b, v)
+                doc_of = np.concatenate((doc_of, sidx.astype(np.int64)))
+                vals = np.concatenate((vals, v))
+            # per-doc dedup: sort (doc, hash) pairs, drop consecutive dups
+            order = np.lexsort((vals, doc_of))
+            doc_s, val_s = doc_of[order], vals[order]
+            if doc_s.size:
+                keep = np.concatenate(
+                    ([True], (doc_s[1:] != doc_s[:-1]) | (val_s[1:] != val_s[:-1]))
+                )
+                doc_s, val_s = doc_s[keep], val_s[keep]
+            yield pa.RecordBatch.from_arrays(
+                [ids.take(pa.array(doc_s)), pa.array(val_s, pa.int64())],
+                names=[id_col, "__h__"],
+            )
+
+    from pyspark.sql import functions as _F
+
+    return df.select(
+        id_col, normalize_text(_F.col(text_col)).alias("_n")
+    ).mapInArrow(hash_fn, f"{id_col} {dtypes[id_col]}, __h__ bigint")
+
+
 def decontaminate(
     docs,
     benchmark,
@@ -112,20 +211,19 @@ def decontaminate(
         n_in = 0
     if 0 < n_in < sc.defaultParallelism:
         src = src.repartition(sc.defaultParallelism, id_col)
-    # xxhash64 as the shingle identity: the hash value never leaves this
-    # job (both sides of the semi-join compute the same function, and the
-    # output is a membership decision), so any injective-enough function
-    # qualifies — the md5+conv h60 it replaces cost far more per row for
-    # the same collision class (~2^-64 per distinct-shingle pair here)
-    doc_sh = shingle_rows(src, text_col, id_col, k=k).select(
-        id_col, F.xxhash64(F.col("sh")).alias("__h__")
-    )
+    # rolling-hash shingle identity (see shingle_hash_rows): the hash
+    # value never leaves this job — both sides of the semi-join compute
+    # the same function and the output is a membership decision — so no
+    # shingle string is ever materialized and no per-shingle hash
+    # expression runs; the exploded md5/xxhash forms this replaces built
+    # ~k bytes of string per input byte first
+    doc_sh = shingle_hash_rows(src, text_col, id_col, k=k)
     bench = benchmark.select(
         F.monotonically_increasing_id().alias("__bid__"), F.col(bt)
     )
     bench_sh = (
-        shingle_rows(bench, bt, "__bid__", k=k)
-        .select(F.xxhash64(F.col("sh")).alias("__h__"))
+        shingle_hash_rows(bench, bt, "__bid__", k=k)
+        .select("__h__")
         .distinct()
     )
     # eval sets are small by contract (module docstring) — pin the
