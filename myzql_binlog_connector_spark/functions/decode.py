@@ -749,13 +749,23 @@ def decode_changes(
     """
     df = events_df
     if not already_partitioned:
-        # hash-partition whole segments together, then order within.
-        # The partition count is explicit: AQE would otherwise coalesce this
-        # small-by-bytes shuffle into one task and serialize the decode —
-        # blob bytes are a bad proxy for decode CPU (each blob fans out to
-        # ~85 envelope rows).
+        # RANGE-partition whole segments together, then order within.
+        # Hash partitioning here had classic few-distinct-keys skew: ~2×
+        # parallelism segment ids hashed into parallelism partitions leave
+        # some partitions with 3-4 segments and others empty, so the
+        # decode wave ran at the speed of the unluckiest task (paired A/B
+        # at sf1.0: range median 2.78s vs hash 3.24s, worst trial 2.9s vs
+        # 5.4s).  Ranges at 2× parallelism keep every partition to ~one
+        # contiguous segment run; equal keys still land together, which is
+        # all segment-integral decode needs.  The partition count is
+        # explicit: AQE would otherwise coalesce this small-by-bytes
+        # shuffle into one task and serialize the decode — blob bytes are
+        # a bad proxy for decode CPU (each blob fans out to ~85 envelope
+        # rows).
         n = events_df.sparkSession.sparkContext.defaultParallelism
-        df = df.repartition(n, "file_seq").sortWithinPartitions("file_seq", "offset")
+        df = df.repartitionByRange(2 * n, "file_seq").sortWithinPartitions(
+            "file_seq", "offset"
+        )
     return df.mapInArrow(
         make_decoder(
             table_filter=table_filter,
