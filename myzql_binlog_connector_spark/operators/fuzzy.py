@@ -84,9 +84,25 @@ def minhash_signatures(
     ceil(n/2) digests per shingle.  (A Kirsch-Mitzenmacher h1+i·h2 scheme
     was tried first: its linear dependence correlates LSH bands, inflating
     the candidate set ~5× and shifting all cost into Jaccard verification.)"""
-    exploded = shingle_rows(
-        _spread(df.select(id_col, text_col), id_col), text_col, id_col, k=shingle_k
-    )
+    spread = _spread(df.select(id_col, text_col), id_col)
+    if shingle_k <= 6:
+        # Packed fast path (round 8): ONE shuffle-free mapInArrow pass —
+        # per batch, the shared packed-shingle kernel yields every doc's
+        # DISTINCT k-grams (normalized text is ASCII by construction, so
+        # k ≤ 6 grams pack injectively into int64); md5 then runs once per
+        # distinct shingle IN THE BATCH (hashlib over the reconstructed
+        # bytes — identical digests to the JVM md5 of the same string),
+        # and per-doc minima fall out of segmented np.minimum.reduceat.
+        # A doc's row is one input row, so each batch emits FINAL
+        # signatures: no explode (one row per character position), no
+        # per-row md5 (boilerplate repeats shingles ~1000×), no groupBy
+        # exchange.  Worst case (all-distinct vocab) degrades to one
+        # hashlib md5 per shingle row — the same hash count the exploded
+        # plan pays, minus its shuffle.
+        return _minhash_signatures_packed(
+            spread, text_col, id_col, n_hashes, shingle_k
+        )
+    exploded = shingle_rows(spread, text_col, id_col, k=shingle_k)
     # Per shingle row only the md5 + two fixed-width hex SUBSTRINGS are
     # computed; the base-16→10 conversion is deferred past the min
     # aggregate.  Equal-length lowercase hex compares lexicographically ==
@@ -106,6 +122,70 @@ def minhash_signatures(
         for i in range(n_hashes)
     ]
     return hashed.groupBy(id_col).agg(*aggs)
+
+
+def _minhash_signatures_packed(docs, text_col, id_col, n_hashes, k):
+    """Fast-path body of :func:`minhash_signatures` — see its inline
+    comment.  Emits ``(id, mh_0..mh_{n-1})`` with values bit-identical to
+    the exploded md5 plan (same digests, same halves, same minima)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from .text import normalize_text
+
+    n_seeds = (n_hashes + 1) // 2
+    seed_prefixes = [f"{s}:".encode() for s in range(n_seeds)]
+    dtypes = dict(docs.dtypes)
+
+    def sig_fn(batches):
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            if rb.column(1).null_count:
+                # NULL-text parity with the exploded plan (see sids_fn)
+                rb = rb.filter(pc.is_valid(rb.column(1)))
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0)
+            doc_u, val_u, counts = _packed_doc_shingles(rb.column(1), n, k)
+            uniq, inv = np.unique(val_u, return_inverse=True)
+            table = np.empty((uniq.size, n_hashes), dtype=np.int64)
+            for ii, pv in enumerate(uniq):
+                sh = int(pv).to_bytes(k, "big").rstrip(b"\x00")
+                for s in range(n_seeds):
+                    hx = hashlib.md5(seed_prefixes[s] + sh).hexdigest()
+                    table[ii, 2 * s] = int(hx[:15], 16)
+                    if 2 * s + 1 < n_hashes:
+                        table[ii, 2 * s + 1] = int(hx[15:30], 16)
+            # every doc has ≥1 shingle (empty text yields the "" shingle),
+            # so the segment starts cover all n docs exactly.  Gather one
+            # CONTIGUOUS hash column at a time — a (pairs × n_hashes)
+            # gather followed by strided-column reduceat paid ~4× in
+            # memory traffic
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            cols = [ids] + [
+                pa.array(
+                    np.minimum.reduceat(
+                        np.ascontiguousarray(table[:, i])[inv], starts
+                    ),
+                    type=pa.int64(),
+                )
+                for i in range(n_hashes)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                cols, names=[id_col] + [f"mh_{i}" for i in range(n_hashes)]
+            )
+
+    return docs.select(
+        id_col, normalize_text(F.col(text_col)).alias("_n")
+    ).mapInArrow(
+        sig_fn,
+        f"{id_col} {dtypes[id_col]}, "
+        + ", ".join(f"mh_{i} bigint" for i in range(n_hashes)),
+    )
 
 
 def minhash_sig_select_sql(n_hashes: int = 8) -> str:
@@ -471,63 +551,18 @@ def _doc_shingle_sets(docs, text_col: str, id_col: str, shingle_k: int):
     dtypes = dict(docs.dtypes)
 
     def sids_fn(batches):
+        import pyarrow.compute as pc
+
         for rb in batches:
+            if rb.column(1).null_count:
+                # NULL text yields no shingle row under explode (sequence
+                # over NULL length) — drop those docs here for parity
+                rb = rb.filter(pc.is_valid(rb.column(1)))
             n = rb.num_rows
             if n == 0:
                 continue
             ids = rb.column(0)
-            txt = rb.column(1)
-            if isinstance(txt, pa.ChunkedArray):
-                txt = txt.combine_chunks()
-            bufs = txt.buffers()
-            off_dt = np.int64 if pa.types.is_large_string(txt.type) else np.int32
-            offs = np.frombuffer(
-                bufs[1], off_dt, count=n + 1,
-                offset=txt.offset * np.dtype(off_dt).itemsize,
-            ).astype(np.int64)
-            data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
-            lens = np.diff(offs)
-            if data.size and int(data[offs[0]: offs[-1]].max(initial=0)) >= 128:
-                raise ValueError(
-                    "non-ASCII byte in normalized text — normalize_text "
-                    "guarantees [a-z0-9 ]; shingle packing is unsound here"
-                )
-            # windows of length k over the whole values buffer, packed
-            # big-endian: acc[p] = int of data[p : p + k]
-            if data.size >= k:
-                acc = np.zeros(data.size - k + 1, dtype=np.int64)
-                for j in range(k):
-                    acc = (acc << 8) | data[j : data.size - k + 1 + j]
-            else:
-                acc = np.empty(0, dtype=np.int64)
-            # docs long enough for real windows: positions
-            # offs[i] .. offs[i] + len_i - k
-            wcnt = np.where(lens >= k, lens - k + 1, 0)
-            total = int(wcnt.sum())
-            excl = np.concatenate(([0], np.cumsum(wcnt)[:-1]))
-            pos = np.repeat(offs[:-1] - excl, wcnt) + np.arange(total)
-            doc_of = np.repeat(np.arange(n, dtype=np.int64), wcnt)
-            vals = acc[pos] if total else np.empty(0, np.int64)
-            # short docs (len < k, incl. empty): ONE whole-string shingle,
-            # zero-padded on the right — exactly substring(n, 1, k)'s clamp
-            sidx = np.nonzero(lens < k)[0]
-            if sidx.size:
-                v = np.zeros(sidx.size, dtype=np.int64)
-                so = offs[:-1][sidx]
-                sl = lens[sidx]
-                for j in range(k):
-                    have = j < sl
-                    idx = np.minimum(so + j, data.size - 1) if data.size else np.zeros(sidx.size, np.int64)
-                    b = np.where(have, data[idx] if data.size else 0, 0)
-                    v = (v << 8) | b
-                doc_of = np.concatenate((doc_of, sidx.astype(np.int64)))
-                vals = np.concatenate((vals, v))
-            # composite (doc, sid) dedupe in one sort: k ≤ 6 ⇒ sid < 2^48,
-            # batch doc index < 2^14 ⇒ the composite fits int64
-            comp = np.unique((doc_of << (8 * k)) | vals)
-            doc_u = comp >> (8 * k)
-            val_u = comp & ((np.int64(1) << (8 * k)) - 1)
-            counts = np.bincount(doc_u, minlength=n)
+            doc_u, val_u, counts = _packed_doc_shingles(rb.column(1), n, k)
             list_offs = np.concatenate(([0], np.cumsum(counts)))
             sids = pa.ListArray.from_arrays(
                 pa.array(list_offs, pa.int32()),
@@ -538,6 +573,73 @@ def _doc_shingle_sets(docs, text_col: str, id_col: str, shingle_k: int):
     return docs.select(
         id_col, normalize_text(F.col(text_col)).alias("_n")
     ).mapInArrow(sids_fn, f"{id_col} {dtypes[id_col]}, sids array<bigint>")
+
+
+def _packed_doc_shingles(txt, n: int, k: int):
+    """Per-batch packed-shingle kernel shared by the shingle-set builder
+    and the fast minhash-signature path: ``(doc_u, val_u, counts)`` where
+    ``(doc_u, val_u)`` are the batch's DISTINCT (doc index, packed k-gram)
+    pairs sorted by doc then value, and ``counts[i]`` is doc i's distinct
+    count.  See :func:`_doc_shingle_sets` for the packing argument."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    bufs = txt.buffers()
+    off_dt = np.int64 if pa.types.is_large_string(txt.type) else np.int32
+    offs = np.frombuffer(
+        bufs[1], off_dt, count=n + 1,
+        offset=txt.offset * np.dtype(off_dt).itemsize,
+    ).astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    lens = np.diff(offs)
+    if data.size and int(data[offs[0]: offs[-1]].max(initial=0)) >= 128:
+        raise ValueError(
+            "non-ASCII byte in normalized text — normalize_text "
+            "guarantees [a-z0-9 ]; shingle packing is unsound here"
+        )
+    # windows of length k over the whole values buffer, packed
+    # big-endian: acc[p] = int of data[p : p + k]
+    if data.size >= k:
+        acc = np.zeros(data.size - k + 1, dtype=np.int64)
+        for j in range(k):
+            acc = (acc << 8) | data[j : data.size - k + 1 + j]
+    else:
+        acc = np.empty(0, dtype=np.int64)
+    # docs long enough for real windows: positions
+    # offs[i] .. offs[i] + len_i - k
+    wcnt = np.where(lens >= k, lens - k + 1, 0)
+    total = int(wcnt.sum())
+    excl = np.concatenate(([0], np.cumsum(wcnt)[:-1]))
+    pos = np.repeat(offs[:-1] - excl, wcnt) + np.arange(total)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), wcnt)
+    vals = acc[pos] if total else np.empty(0, np.int64)
+    # short docs (len < k, incl. empty): ONE whole-string shingle,
+    # zero-padded on the right — exactly substring(n, 1, k)'s clamp
+    sidx = np.nonzero(lens < k)[0]
+    if sidx.size:
+        v = np.zeros(sidx.size, dtype=np.int64)
+        so = offs[:-1][sidx]
+        sl = lens[sidx]
+        for j in range(k):
+            have = j < sl
+            idx = np.minimum(so + j, data.size - 1) if data.size else np.zeros(sidx.size, np.int64)
+            b = np.where(have, data[idx] if data.size else 0, 0)
+            v = (v << 8) | b
+        doc_of = np.concatenate((doc_of, sidx.astype(np.int64)))
+        vals = np.concatenate((vals, v))
+    # composite (doc, sid) dedupe in one sort: k ≤ 6 ⇒ sid < 2^48,
+    # batch doc index < 2^14 ⇒ the composite fits int64
+    comp = np.unique((doc_of << (8 * k)) | vals)
+    doc_u = comp >> (8 * k)
+    val_u = comp & ((np.int64(1) << (8 * k)) - 1)
+    counts = np.bincount(doc_u, minlength=n)
+    return doc_u, val_u, counts
 
 
 def ngram_jaccard(
