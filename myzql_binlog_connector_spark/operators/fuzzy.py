@@ -339,14 +339,20 @@ def minhash_dup_pairs(
     for i in range(n_hashes):
         term = (F.col(f"l.mh_{i}") == F.col(f"r.mh_{i}")).cast("int")
         agree = term if agree is None else agree + term
-    join_cond = (F.col("l.band") == F.col("r.band")) & (
-        F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    # the agreement prefilter rides IN the join condition: the hash join
+    # evaluates it per probed pair before emitting the row, so the ~99% of
+    # band collisions that fail it never materialize into a downstream
+    # operator (a separate .filter() handed every collision pair across
+    # an operator boundary first)
+    join_cond = (
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        & (agree >= F.lit(m))
     )
     for j in range(band_rows):
         join_cond = join_cond & (F.col(f"l.bk_{j}") == F.col(f"r.bk_{j}"))
     cand = (
         l.join(r, join_cond)
-        .filter(agree >= F.lit(m))
         .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
