@@ -129,7 +129,7 @@ DEFAULT_CHUNK_BYTES = 128 << 20  # spark.sql.files.maxPartitionBytes default
 #: smallest adaptive chunk — below this, Python-source task overhead
 #: (~25-50 ms each) stops amortizing (the same measurement that ruled out
 #: file-granular planning; see _plan_commits)
-MIN_CHUNK_BYTES = 16 << 20
+MIN_CHUNK_BYTES = 8 << 20
 
 
 def _target_parallelism() -> int:
