@@ -102,7 +102,13 @@ def minhash_signatures(
         return _minhash_signatures_packed(
             spread, text_col, id_col, n_hashes, shingle_k
         )
-    exploded = shingle_rows(spread, text_col, id_col, k=shingle_k)
+    # NULL-text contract (parity with the packed path): no shingles ⇒ no
+    # signature row — the bare explode would emit one NULL shingle whose
+    # md5 is NULL, yielding an all-NULL signature row instead
+    exploded = shingle_rows(
+        spread.filter(F.col(text_col).isNotNull()), text_col, id_col,
+        k=shingle_k,
+    )
     # Per shingle row only the md5 + two fixed-width hex SUBSTRINGS are
     # computed; the base-16→10 conversion is deferred past the min
     # aggregate.  Equal-length lowercase hex compares lexicographically ==
@@ -546,8 +552,14 @@ def _doc_shingle_sets(docs, text_col: str, id_col: str, shingle_k: int):
     from .text import normalize_text
 
     if shingle_k > 6:
+        # NULL-text contract (both paths): no shingles ⇒ no output row —
+        # without the filter, explode yields one NULL shingle whose
+        # xxhash64 degenerates to the seed value
         return (
-            shingle_rows(docs, text_col, id_col, k=shingle_k)
+            shingle_rows(
+                docs.filter(F.col(text_col).isNotNull()),
+                text_col, id_col, k=shingle_k,
+            )
             .select(id_col, F.xxhash64(F.col("sh")).alias("sid"))
             .groupBy(id_col)
             .agg(F.collect_set("sid").alias("sids"))
